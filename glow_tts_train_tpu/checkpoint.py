@@ -1,0 +1,317 @@
+"""Checkpoint save/load + torch-checkpoint import.
+
+Reference equivalent: `checkpoint.py` (:18-106) — a torch pickle holding
+``{model, global_step, learning_rate, version, optimizer}``.  Here the native
+artifact is a single ``.npz`` with flattened pytree keys plus a JSON metadata
+blob — single-file, framework-neutral, and mmap-friendly.  Loading performs
+the reference's tolerant merge (:84-93): keys missing from the checkpoint
+keep their fresh-init values with a warning.
+
+`import_torch_checkpoint` maps a reference ``.pth`` state dict onto our param
+pytree (weight-norm g/v, conv layout, and block stacking included) so
+reference-trained models run (and are parity-tested) on TPU.
+"""
+
+import io
+import json
+import logging
+import typing
+from dataclasses import dataclass
+from pathlib import Path
+
+import jax
+import numpy as np
+
+from .config import TrainingConfig
+from .models import hyper_from_config, init_model
+from .optimize import make_optimizer
+
+_LOGGER = logging.getLogger("glow_tts_train_tpu.checkpoint")
+
+Params = typing.Dict[str, typing.Any]
+
+_META_KEY = "__meta__"
+
+
+@dataclass
+class Checkpoint:
+    params: Params
+    learning_rate: float
+    global_step: int
+    version: int
+    opt_state: typing.Any = None
+
+
+def _flatten(tree, prefix: str) -> typing.Dict[str, np.ndarray]:
+    flat = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        key = prefix + "/".join(_path_elem(p) for p in path)
+        flat[key] = np.asarray(leaf)
+    return flat
+
+
+def _path_elem(p) -> str:
+    if hasattr(p, "key"):
+        return str(p.key)
+    if hasattr(p, "idx"):
+        return str(p.idx)
+    if hasattr(p, "name"):
+        return str(p.name)
+    return str(p)
+
+
+def save_checkpoint(checkpoint: Checkpoint, checkpoint_path: Path) -> None:
+    """Write a single-file .npz checkpoint."""
+    checkpoint_path = Path(checkpoint_path)
+    checkpoint_path.parent.mkdir(parents=True, exist_ok=True)
+
+    arrays = _flatten(checkpoint.params, "model/")
+    if checkpoint.opt_state is not None:
+        # opt_state structure is rebuilt from the optimizer at load time;
+        # store leaves in flatten order
+        leaves = jax.tree_util.tree_leaves(checkpoint.opt_state)
+        for i, leaf in enumerate(leaves):
+            arrays[f"opt/{i:04d}"] = np.asarray(leaf)
+
+    meta = {
+        "global_step": checkpoint.global_step,
+        "learning_rate": checkpoint.learning_rate,
+        "version": checkpoint.version,
+    }
+    arrays[_META_KEY] = np.frombuffer(
+        json.dumps(meta).encode("utf-8"), dtype=np.uint8
+    )
+    buf = io.BytesIO()
+    np.savez(buf, **arrays)
+    checkpoint_path.write_bytes(buf.getvalue())
+
+
+def _merge_into(fresh: Params, saved: typing.Dict[str, np.ndarray]) -> Params:
+    """Tolerant merge (reference checkpoint.py:84-93): saved values win,
+    missing keys keep fresh-init values with a warning."""
+    used = set()
+
+    def visit(path, leaf):
+        key = "model/" + "/".join(_path_elem(p) for p in path)
+        if key in saved:
+            used.add(key)
+            return saved[key].astype(np.asarray(leaf).dtype)
+        _LOGGER.warning("%s is not in the checkpoint", key)
+        return leaf
+
+    merged = jax.tree_util.tree_map_with_path(visit, fresh)
+    for key in saved:
+        if key.startswith("model/") and key not in used:
+            _LOGGER.warning("checkpoint key %s not used by the model", key)
+    return merged
+
+
+def load_checkpoint(
+    checkpoint_path: Path,
+    config: TrainingConfig,
+    load_optimizer: bool = True,
+) -> Checkpoint:
+    """Load a .npz checkpoint, building fresh params for any missing keys."""
+    checkpoint_path = Path(checkpoint_path)
+    if checkpoint_path.suffix == ".pth":
+        params = import_torch_checkpoint_params(checkpoint_path, config)
+        meta = import_torch_checkpoint_meta(checkpoint_path)
+        return Checkpoint(params=params, opt_state=None, **meta)
+
+    with np.load(checkpoint_path, allow_pickle=False) as data:
+        saved = {k: data[k] for k in data.files}
+
+    meta = json.loads(bytes(saved.pop(_META_KEY)).decode("utf-8"))
+
+    hp = hyper_from_config(config)
+    fresh = init_model(jax.random.PRNGKey(config.seed), hp)
+    params = _merge_into(fresh, saved)
+
+    opt_state = None
+    if load_optimizer:
+        tx = make_optimizer(config)
+        opt_state = tx.init(params)
+        opt_keys = sorted(k for k in saved if k.startswith("opt/"))
+        if opt_keys:
+            leaves, treedef = jax.tree_util.tree_flatten(opt_state)
+            if len(opt_keys) == len(leaves):
+                new_leaves = [
+                    saved[k].astype(np.asarray(l).dtype) if np.shape(l) == saved[k].shape
+                    else l
+                    for k, l in zip(opt_keys, leaves)
+                ]
+                opt_state = jax.tree_util.tree_unflatten(treedef, new_leaves)
+            else:
+                _LOGGER.warning(
+                    "optimizer state mismatch (%s saved vs %s fresh leaves); "
+                    "using fresh optimizer state",
+                    len(opt_keys),
+                    len(leaves),
+                )
+
+    return Checkpoint(
+        params=params,
+        opt_state=opt_state,
+        learning_rate=float(meta.get("learning_rate", 1.0)),
+        global_step=int(meta.get("global_step", 1)),
+        version=int(meta.get("version", 1)),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Torch (.pth) checkpoint import
+# ---------------------------------------------------------------------------
+
+
+def _t(a) -> np.ndarray:
+    return np.ascontiguousarray(a.detach().cpu().numpy())
+
+
+def _conv_w(a) -> np.ndarray:
+    """torch conv weight [out, in, k] -> ours [k, in, out]."""
+    return _t(a).transpose(2, 1, 0)
+
+
+def _wn_conv(sd, prefix: str) -> typing.Dict[str, np.ndarray]:
+    """torch weight-normed conv -> {v, g, b}."""
+    return {
+        "v": _conv_w(sd[prefix + ".weight_v"]),
+        "g": _t(sd[prefix + ".weight_g"]).reshape(-1),
+        "b": _t(sd[prefix + ".bias"]),
+    }
+
+
+def _plain_conv(sd, prefix: str) -> typing.Dict[str, np.ndarray]:
+    return {"w": _conv_w(sd[prefix + ".weight"]), "b": _t(sd[prefix + ".bias"])}
+
+
+def _norm(sd, prefix: str) -> typing.Dict[str, np.ndarray]:
+    return {"gamma": _t(sd[prefix + ".gamma"]), "beta": _t(sd[prefix + ".beta"])}
+
+
+def _stack(dicts: typing.List[dict]) -> dict:
+    return jax.tree_util.tree_map(lambda *xs: np.stack(xs), *dicts)
+
+
+def import_torch_checkpoint_meta(path: Path) -> dict:
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    return {
+        "learning_rate": float(ckpt.get("learning_rate", 1.0)),
+        "global_step": int(ckpt.get("global_step", 1)),
+        "version": int(ckpt.get("version", 1)),
+    }
+
+
+def import_torch_state_dict(sd: dict, config: TrainingConfig) -> Params:
+    """Map a reference FlowGenerator state dict onto our param pytree.
+
+    Handles: conv layout [out,in,k]→[k,in,out], weight-norm (g, v) pairs,
+    ActNorm [1,c,1]→[c], per-layer module lists → stacked scan params.
+    """
+    m = config.model
+    n_layers_enc = m.n_layers_enc
+    n_blocks = m.n_blocks_dec
+    n_wn_layers = m.n_block_layers
+
+    params: Params = {"emb": _t(sd["encoder.emb.weight"])}
+
+    if m.prenet:
+        layers = []
+        for i in range(3):
+            layers.append(
+                {
+                    "conv": _plain_conv(sd, f"encoder.pre.conv_layers.{i}"),
+                    "norm": _norm(sd, f"encoder.pre.norm_layers.{i}"),
+                }
+            )
+        params["prenet"] = {
+            "layers": _stack(layers),
+            "proj": _plain_conv(sd, "encoder.pre.proj"),
+        }
+
+    enc_layers = []
+    for i in range(n_layers_enc):
+        enc_layers.append(
+            {
+                "attn": {
+                    "q": _plain_conv(sd, f"encoder.encoder.attn_layers.{i}.conv_q"),
+                    "k": _plain_conv(sd, f"encoder.encoder.attn_layers.{i}.conv_k"),
+                    "v": _plain_conv(sd, f"encoder.encoder.attn_layers.{i}.conv_v"),
+                    "o": _plain_conv(sd, f"encoder.encoder.attn_layers.{i}.conv_o"),
+                    "emb_rel_k": _t(sd[f"encoder.encoder.attn_layers.{i}.emb_rel_k"]),
+                    "emb_rel_v": _t(sd[f"encoder.encoder.attn_layers.{i}.emb_rel_v"]),
+                },
+                "norm_1": _norm(sd, f"encoder.encoder.norm_layers_1.{i}"),
+                "ffn": {
+                    "conv_1": _plain_conv(
+                        sd, f"encoder.encoder.ffn_layers.{i}.conv_1"
+                    ),
+                    "conv_2": _plain_conv(
+                        sd, f"encoder.encoder.ffn_layers.{i}.conv_2"
+                    ),
+                },
+                "norm_2": _norm(sd, f"encoder.encoder.norm_layers_2.{i}"),
+            }
+        )
+    params["encoder"] = _stack(enc_layers)
+
+    params["proj_m"] = _plain_conv(sd, "encoder.proj_m")
+    if not m.mean_only:
+        params["proj_s"] = _plain_conv(sd, "encoder.proj_s")
+
+    params["proj_w"] = {
+        "conv_1": _plain_conv(sd, "encoder.proj_w.conv_1"),
+        "norm_1": _norm(sd, "encoder.proj_w.norm_1"),
+        "conv_2": _plain_conv(sd, "encoder.proj_w.conv_2"),
+        "norm_2": _norm(sd, "encoder.proj_w.norm_2"),
+        "proj": _plain_conv(sd, "encoder.proj_w.proj"),
+    }
+
+    blocks = []
+    for b in range(n_blocks):
+        base = f"decoder.flows.{3 * b}"
+        actnorm = {
+            "bias": _t(sd[base + ".bias"]).reshape(-1),
+            "logs": _t(sd[base + ".logs"]).reshape(-1),
+        }
+        invconv = {"weight": _t(sd[f"decoder.flows.{3 * b + 1}.weight"])}
+        cpl = f"decoder.flows.{3 * b + 2}"
+        wn: Params = {
+            "in_layers": _stack(
+                [_wn_conv(sd, f"{cpl}.wn.in_layers.{j}") for j in range(n_wn_layers)]
+            ),
+            "res_skip_last": _wn_conv(
+                sd, f"{cpl}.wn.res_skip_layers.{n_wn_layers - 1}"
+            ),
+        }
+        if n_wn_layers > 1:
+            wn["res_skip"] = _stack(
+                [
+                    _wn_conv(sd, f"{cpl}.wn.res_skip_layers.{j}")
+                    for j in range(n_wn_layers - 1)
+                ]
+            )
+        if m.gin_channels != 0 and f"{cpl}.wn.cond_layer.weight_v" in sd:
+            wn["cond"] = _wn_conv(sd, f"{cpl}.wn.cond_layer")
+        coupling = {
+            "start": _wn_conv(sd, f"{cpl}.start"),
+            "end": _plain_conv(sd, f"{cpl}.end"),
+            "wn": wn,
+        }
+        blocks.append({"actnorm": actnorm, "invconv": invconv, "coupling": coupling})
+    params["decoder"] = {"blocks": _stack(blocks)}
+
+    if m.n_speakers > 1 and "emb_g.weight" in sd:
+        params["emb_g"] = _t(sd["emb_g.weight"])
+
+    return params
+
+
+def import_torch_checkpoint_params(path: Path, config: TrainingConfig) -> Params:
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt["model"] if "model" in ckpt else ckpt
+    return import_torch_state_dict(sd, config)

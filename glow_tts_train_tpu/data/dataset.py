@@ -1,0 +1,253 @@
+"""Phoneme/mel dataset loading and TPU-friendly batching.
+
+Reference equivalents (`/root/reference/glow_tts_train/dataset.py`):
+* ``load_phonemes`` (:122-162) — CSV ``id|p1 p2 …`` with min/max length filter
+* ``load_mels`` (:165-176) — JSONL ``{"id": ..., "mel": [[...]]}``
+* ``PhonemeMelLoader`` (:20-69) — (speaker_idx, utt_id)-keyed map dataset with
+  lazy ``.npy`` loading and in-RAM caching
+* ``PhonemeMelCollate`` (:72-116) — sort batch by text length desc, zero-pad,
+  round mel frames up to ``n_frames_per_step``
+
+TPU redesign: XLA compiles one program per input shape, so batches are padded
+to *length buckets* (multiples of ``bucket_size_text`` / ``bucket_size_mel``)
+— a bounded set of shapes instead of a new shape every step.  The batcher can
+also sort by mel length and batch neighbors ("bucket_by_length") to cut
+padding waste, and shards utterances across hosts by ``process_index``
+(the DistributedSampler equivalent, reference __main__.py:235).
+"""
+
+import csv
+import json
+import logging
+import typing
+from pathlib import Path
+
+import numpy as np
+
+from ..config import TrainingConfig
+
+_LOGGER = logging.getLogger("glow_tts_train_tpu.dataset")
+
+UttKey = typing.Tuple[int, str]
+
+
+def load_phonemes(
+    csv_file: typing.TextIO, config: TrainingConfig
+) -> typing.Dict[str, np.ndarray]:
+    """Parse ``id|p1 p2 …`` rows, filtering by min/max_seq_length."""
+    phonemes: typing.Dict[str, np.ndarray] = {}
+    num_too_small = 0
+    num_too_large = 0
+
+    reader = csv.reader(csv_file, delimiter="|")
+    for row in reader:
+        utt_id, phoneme_str = row[0], row[1]
+        phoneme_ids = [int(p) for p in phoneme_str.strip().split()]
+        num_phonemes = len(phoneme_ids)
+
+        if (config.min_seq_length is not None) and (
+            num_phonemes < config.min_seq_length
+        ):
+            _LOGGER.debug(
+                "Dropping %s (%s < %s)", utt_id, num_phonemes, config.min_seq_length
+            )
+            num_too_small += 1
+            continue
+        if (config.max_seq_length is not None) and (
+            num_phonemes > config.max_seq_length
+        ):
+            _LOGGER.debug(
+                "Dropping %s (%s > %s)", utt_id, num_phonemes, config.max_seq_length
+            )
+            num_too_large += 1
+            continue
+
+        phonemes[utt_id] = np.asarray(phoneme_ids, dtype=np.int32)
+
+    if (num_too_small > 0) or (num_too_large > 0):
+        _LOGGER.warning(
+            "Dropped some utterance (%s too small, %s too large)",
+            num_too_small,
+            num_too_large,
+        )
+    return phonemes
+
+
+def load_mels(jsonl_file: typing.TextIO) -> typing.Dict[str, np.ndarray]:
+    """Parse JSONL mels; values stored [n_mel, t] like the reference."""
+    mels = {}
+    for line in jsonl_file:
+        line = line.strip()
+        if not line:
+            continue
+        mel_obj = json.loads(line)
+        mels[mel_obj["id"]] = np.asarray(mel_obj["mel"], dtype=np.float32)
+    return mels
+
+
+class PhonemeMelDataset:
+    """(speaker_idx, utt_id)-keyed dataset with lazy .npy mel loading."""
+
+    def __init__(
+        self,
+        id_phonemes: typing.Dict[UttKey, np.ndarray],
+        id_mels: typing.Dict[UttKey, np.ndarray],
+        mel_dirs: typing.Optional[typing.Dict[int, Path]] = None,
+        multispeaker: bool = False,
+    ):
+        self.id_phonemes = id_phonemes
+        self.id_mels = dict(id_mels)
+        self.mel_dirs = mel_dirs or {}
+        self.multispeaker = multispeaker
+
+        if id_mels:
+            self.ids = sorted(
+                set(id_phonemes.keys()) & set(id_mels.keys()),
+                key=lambda k: (k[0], k[1]),
+            )
+            assert self.ids, "No shared utterance ids between phonemes and mels"
+        else:
+            self.ids = sorted(id_phonemes.keys(), key=lambda k: (k[0], k[1]))
+
+    def __len__(self) -> int:
+        return len(self.ids)
+
+    def get(self, utt_key: UttKey):
+        """Returns (text [t_x] int32, mel [n_mel, t_y] f32, speaker_idx)."""
+        speaker_idx, utt_id = utt_key
+        text = self.id_phonemes[utt_key]
+        mel = self.id_mels.get(utt_key)
+        if mel is None:
+            mels_dir = self.mel_dirs.get(speaker_idx)
+            assert mels_dir, f"Missing mel for id {utt_id}, but no mels_dir"
+            mel = np.load(
+                Path(mels_dir) / (utt_id + ".npy"), allow_pickle=True
+            ).astype(np.float32)
+            self.id_mels[utt_key] = mel  # cache
+        return text, mel, speaker_idx
+
+    def mel_length(self, utt_key: UttKey) -> int:
+        """Mel frame count without forcing a full load when cached."""
+        mel = self.id_mels.get(utt_key)
+        if mel is not None:
+            return mel.shape[1]
+        text, mel, _ = self.get(utt_key)
+        return mel.shape[1]
+
+
+def _round_up(n: int, multiple: int) -> int:
+    return ((n + multiple - 1) // multiple) * multiple
+
+
+def collate(
+    items: typing.Sequence[typing.Tuple[np.ndarray, np.ndarray, int]],
+    n_frames_per_step: int = 1,
+    multispeaker: bool = False,
+    bucket_size_text: int = 1,
+    bucket_size_mel: int = 1,
+) -> dict:
+    """Assemble a channels-last batch dict with bucketed padding.
+
+    Mirrors PhonemeMelCollate (dataset.py:72-116): sorts by text length
+    descending, zero-pads, rounds the mel axis up to n_frames_per_step — and
+    additionally rounds both axes up to bucket multiples for shape stability.
+    """
+    order = sorted(
+        range(len(items)), key=lambda i: len(items[i][0]), reverse=True
+    )
+    items = [items[i] for i in order]
+
+    max_text = _round_up(max(len(it[0]) for it in items), max(bucket_size_text, 1))
+    max_mel = max(it[1].shape[1] for it in items)
+    max_mel = _round_up(max_mel, max(n_frames_per_step, 1))
+    max_mel = _round_up(max_mel, max(bucket_size_mel, 1))
+
+    b = len(items)
+    n_mel = items[0][1].shape[0]
+    x = np.zeros((b, max_text), np.int32)
+    x_lengths = np.zeros((b,), np.int32)
+    y = np.zeros((b, max_mel, n_mel), np.float32)
+    y_lengths = np.zeros((b,), np.int32)
+    speaker_ids = np.zeros((b,), np.int32) if multispeaker else None
+
+    for i, (text, mel, speaker_idx) in enumerate(items):
+        x[i, : len(text)] = text
+        x_lengths[i] = len(text)
+        y[i, : mel.shape[1]] = mel.T  # [n_mel, t] -> [t, n_mel] channels-last
+        y_lengths[i] = mel.shape[1]
+        if speaker_ids is not None:
+            speaker_ids[i] = speaker_idx
+
+    batch = {"x": x, "x_lengths": x_lengths, "y": y, "y_lengths": y_lengths}
+    if speaker_ids is not None:
+        batch["speaker_ids"] = speaker_ids
+    return batch
+
+
+class DataPipeline:
+    """Epoch batch iterator: shuffling, optional length-bucketing, drop_last,
+    and per-host sharding."""
+
+    def __init__(
+        self,
+        dataset: PhonemeMelDataset,
+        config: TrainingConfig,
+        batch_size: typing.Optional[int] = None,
+        seed: typing.Optional[int] = None,
+        bucket_by_length: bool = True,
+        drop_last: bool = True,
+        num_shards: int = 1,
+        shard_index: int = 0,
+    ):
+        self.dataset = dataset
+        self.config = config
+        self.batch_size = batch_size or config.batch_size
+        self.seed = config.seed if seed is None else seed
+        self.bucket_by_length = bucket_by_length
+        self.drop_last = drop_last
+        self.num_shards = num_shards
+        self.shard_index = shard_index
+        self.epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset.ids) // self.num_shards
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def batches(self) -> typing.Iterator[dict]:
+        """One epoch of host batches.  Reshuffles every call (the reference
+        leaves sampler.set_epoch commented out, train.py:101 — same order
+        every epoch; we fix that)."""
+        rng = np.random.default_rng(self.seed + self.epoch)
+        self.epoch += 1
+        ids = list(self.dataset.ids)
+        rng.shuffle(ids)
+        # per-host shard (DistributedSampler equivalent)
+        ids = ids[self.shard_index :: self.num_shards]
+
+        if self.bucket_by_length:
+            # sort by mel length, batch neighbors, shuffle batch order:
+            # minimizes padding waste while keeping epoch-level randomness
+            ids.sort(key=self.dataset.mel_length)
+
+        batches = [
+            ids[i : i + self.batch_size]
+            for i in range(0, len(ids), self.batch_size)
+        ]
+        if self.drop_last and batches and len(batches[-1]) < self.batch_size:
+            batches = batches[:-1]
+        rng.shuffle(batches)
+
+        m = self.config.model
+        for batch_ids in batches:
+            items = [self.dataset.get(k) for k in batch_ids]
+            yield collate(
+                items,
+                n_frames_per_step=m.n_frames_per_step,
+                multispeaker=self.dataset.multispeaker,
+                bucket_size_text=self.config.bucket_size_text,
+                bucket_size_mel=self.config.bucket_size_mel,
+            )
+
+    __iter__ = batches

@@ -1,0 +1,140 @@
+#!/usr/bin/env python3
+"""Export CLI: serialize an inference-only graph to a portable artifact.
+
+Capability parity with reference `export.py` (TorchScript) and
+`export_onnx.py` (ONNX opset 12): the TPU-native artifact is a serialized
+StableHLO module from ``jax.export`` with the parameters embedded as
+constants — the same "weights baked into a portable graph" contract as ONNX.
+The exported callable mirrors the ONNX signature (export_onnx.py:73-86):
+
+    (input [1, T] int32, input_lengths [1] int32,
+     scales [2] f32 = [noise, length], seed [] int32)
+        -> (mel [1, n_mel, y_max] f32, mel_lengths [1] int32)
+
+Shapes are static (XLA): text padded to ``--max-text-length``, frames
+generated into ``--max-frames``.  A ``config.json`` is written next to the
+artifact (export_onnx.py:92-93).  Note the reference's TorchScript export is
+broken as shipped (rebinds a nonexistent ``model.infer``, export.py:73);
+this export is the working equivalent.
+"""
+
+import argparse
+import json
+import logging
+from pathlib import Path
+
+_LOGGER = logging.getLogger("glow_tts_train_tpu.export")
+
+ARTIFACT_NAME = "generator.stablehlo"
+META_NAME = "export_meta.json"
+
+
+def export_model(
+    params, config, max_text_length: int, max_frames: int
+) -> bytes:
+    """Build + serialize the inference graph with params as constants."""
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jax_export
+
+    from .models import forward_gen, hyper_from_config
+
+    hp = hyper_from_config(config)
+
+    def infer_fn(text, text_lengths, scales, seed):
+        noise_scale = scales[0]
+        length_scale = scales[1]
+        out = forward_gen(
+            params,
+            hp,
+            text,
+            text_lengths,
+            y_max_length=max_frames,
+            noise_rng=jax.random.PRNGKey(seed),
+            noise_scale=noise_scale,
+            length_scale=length_scale,
+        )
+        (y, _, _, _), _, _, y_lengths = out
+        # [1, t, n_mel] -> [1, n_mel, t] (ONNX output layout)
+        return y.transpose(0, 2, 1), y_lengths
+
+    args_spec = (
+        jax.ShapeDtypeStruct((1, max_text_length), jnp.int32),
+        jax.ShapeDtypeStruct((1,), jnp.int32),
+        jax.ShapeDtypeStruct((2,), jnp.float32),
+        jax.ShapeDtypeStruct((), jnp.int32),
+    )
+    # multi-platform artifact: runs on TPU or CPU hosts (lowered once per
+    # platform, like an ONNX file running on any EP)
+    exported = jax_export.export(jax.jit(infer_fn), platforms=("tpu", "cpu"))(
+        *args_spec
+    )
+    return exported.serialize()
+
+
+def main():
+    parser = argparse.ArgumentParser(prog="glow-tts-export-tpu")
+    parser.add_argument("checkpoint", help="Path to model checkpoint (.npz or .pth)")
+    parser.add_argument("output", help="Directory to write exported model")
+    parser.add_argument(
+        "--config", action="append", help="Path to JSON configuration file(s)"
+    )
+    parser.add_argument("--num-symbols", type=int)
+    parser.add_argument(
+        "--max-text-length", type=int, default=256, help="Static phoneme budget"
+    )
+    parser.add_argument(
+        "--max-frames", type=int, default=2048, help="Static mel frame budget"
+    )
+    parser.add_argument("--debug", action="store_true")
+    args = parser.parse_args()
+
+    logging.basicConfig(level=logging.DEBUG if args.debug else logging.INFO)
+
+    from .checkpoint import load_checkpoint
+    from .config import TrainingConfig
+    from .models import store_inverse
+
+    if args.config:
+        args.config = [Path(p) for p in args.config]
+    args.checkpoint = Path(args.checkpoint)
+    args.output = Path(args.output)
+
+    config = TrainingConfig()
+    if args.config:
+        config = TrainingConfig.load_and_merge(config, args.config)
+    if args.num_symbols is not None:
+        config.model.num_symbols = args.num_symbols
+    assert config.model.num_symbols > 0, "Number of symbols not set"
+
+    checkpoint = load_checkpoint(args.checkpoint, config, load_optimizer=False)
+    _LOGGER.info(
+        "Loaded checkpoint from %s (global step=%s)",
+        args.checkpoint,
+        checkpoint.global_step,
+    )
+    params = store_inverse(checkpoint.params)
+
+    args.output.mkdir(parents=True, exist_ok=True)
+    with open(args.output / "config.json", "w") as config_file:
+        config.save(config_file)
+
+    serialized = export_model(
+        params, config, args.max_text_length, args.max_frames
+    )
+    (args.output / ARTIFACT_NAME).write_bytes(serialized)
+    with open(args.output / META_NAME, "w") as meta_file:
+        json.dump(
+            {
+                "max_text_length": args.max_text_length,
+                "max_frames": args.max_frames,
+                "global_step": checkpoint.global_step,
+            },
+            meta_file,
+            indent=2,
+        )
+    _LOGGER.info("Exported model to %s", args.output)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,133 @@
+#!/usr/bin/env python3
+"""Run an exported StableHLO artifact (the onnxruntime-equivalent CLI).
+
+Contract parity with reference `infer_onnx.py:20-162`: same stdin/stdout
+JSONL interface as the torch infer CLI, default ``--noise-scale`` 0.667
+(infer_onnx.py:36), runs the serialized graph instead of live model code.
+Also fixes the reference bug where JSONL output reads nonexistent
+AudioConfig fields (infer_onnx.py:84-90 — crashes as shipped)."""
+
+import argparse
+import dataclasses
+import json
+import logging
+import sys
+import time
+from pathlib import Path
+
+_LOGGER = logging.getLogger("glow_tts_train_tpu.infer_export")
+
+
+def main():
+    parser = argparse.ArgumentParser(prog="glow-tts-infer-export-tpu")
+    parser.add_argument("model_dir", help="Directory with exported model")
+    parser.add_argument("--numpy-dir", help="Output .npy files instead of JSONL")
+    parser.add_argument(
+        "--csv", action="store_true", help="Input format is id|p1 p2 p3..."
+    )
+    parser.add_argument("--noise-scale", type=float, default=0.667)
+    parser.add_argument("--length-scale", type=float, default=1.0)
+    parser.add_argument("--seed", type=int, default=1234)
+    parser.add_argument(
+        "--platform",
+        default="auto",
+        choices=("auto", "cpu", "tpu"),
+        help="Backend to run the artifact on (artifacts are exported "
+        "multi-platform; 'cpu' runs anywhere)",
+    )
+    parser.add_argument("--debug", action="store_true")
+    args = parser.parse_args()
+
+    logging.basicConfig(level=logging.DEBUG if args.debug else logging.INFO)
+
+    import numpy as np
+    import jax
+
+    if args.platform != "auto":
+        jax.config.update("jax_platforms", args.platform)
+    from jax import export as jax_export
+
+    from .config import TrainingConfig
+    from .export import ARTIFACT_NAME, META_NAME
+
+    model_dir = Path(args.model_dir)
+    if args.numpy_dir:
+        args.numpy_dir = Path(args.numpy_dir)
+        args.numpy_dir.mkdir(parents=True, exist_ok=True)
+
+    with open(model_dir / "config.json") as config_file:
+        config = TrainingConfig.load(config_file)
+    with open(model_dir / META_NAME) as meta_file:
+        meta = json.load(meta_file)
+    max_text_length = int(meta["max_text_length"])
+
+    start_time = time.perf_counter()
+    exported = jax_export.deserialize(
+        bytearray((model_dir / ARTIFACT_NAME).read_bytes())
+    )
+    _LOGGER.info(
+        "Loaded exported model from %s in %s second(s)",
+        model_dir,
+        time.perf_counter() - start_time,
+    )
+
+    output_obj = {"id": "", "audio": dataclasses.asdict(config.audio), "mel": []}
+    scales = np.asarray([args.noise_scale, args.length_scale], np.float32)
+    seed = np.asarray(args.seed, np.int32)
+
+    import os
+
+    if os.isatty(sys.stdin.fileno()):
+        print("Reading whitespace-separated phoneme ids from stdin...", file=sys.stderr)
+
+    try:
+        for line in sys.stdin:
+            line = line.strip()
+            if not line:
+                continue
+            utt_id = ""
+            if args.csv:
+                utt_id, line = line.split("|", maxsplit=1)
+            phoneme_ids = [int(p) for p in line.split()]
+            if len(phoneme_ids) > max_text_length:
+                _LOGGER.warning(
+                    "Utterance %s longer than export budget (%s > %s); truncating",
+                    utt_id,
+                    len(phoneme_ids),
+                    max_text_length,
+                )
+                phoneme_ids = phoneme_ids[:max_text_length]
+
+            text = np.zeros((1, max_text_length), np.int32)
+            text[0, : len(phoneme_ids)] = phoneme_ids
+            text_lengths = np.asarray([len(phoneme_ids)], np.int32)
+
+            start_time = time.perf_counter()
+            mel, mel_lengths = exported.call(text, text_lengths, scales, seed)
+            elapsed = time.perf_counter() - start_time
+
+            mel = np.asarray(mel)[0, :, : int(np.asarray(mel_lengths)[0])]
+            if args.numpy_dir:
+                if not utt_id:
+                    utt_id = str(time.time())
+                mel_path = args.numpy_dir / (utt_id + ".npy")
+                np.save(str(mel_path), mel, allow_pickle=True)
+                _LOGGER.debug("Wrote %s", mel_path)
+            else:
+                output_obj["id"] = utt_id
+                output_obj["mel"] = mel.tolist()
+                json.dump(output_obj, sys.stdout)
+                sys.stdout.write("\n")
+                sys.stdout.flush()
+            _LOGGER.debug(
+                "Generated mel in %s second(s) (%s, shape=%s)",
+                elapsed,
+                utt_id,
+                list(mel.shape),
+            )
+    except KeyboardInterrupt:
+        pass
+
+
+if __name__ == "__main__":
+    main()

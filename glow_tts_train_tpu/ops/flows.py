@@ -1,0 +1,504 @@
+"""Normalizing-flow bijectors and the flow decoder stack.
+
+Behavioral parity with the reference:
+* ActNorm            — layers.py:173-221 (incl. data-dependent init stats)
+* InvConvNear        — layers.py:224-275 (grouped invertible 1x1 conv, QR init)
+* WN (WaveNet stack) — layers.py:83-170 (weight-normed dilated convs, gated
+                       tanh·sigmoid, res/skip split, global conditioning)
+* CouplingBlock      — attentions.py:77-145 (affine coupling)
+* squeeze/unsqueeze  — utils.py:135-160 (time↔channel folding)
+* FlowSpecDecoder    — models.py:145-215
+
+TPU-first design: channels-last [b, t, c]; the n_blocks identical
+[ActNorm → InvConvNear → Coupling] blocks are parameter-stacked and run under
+``jax.lax.scan`` (forward, reverse, and DDI-init are all single compiled
+block bodies).  logdet accumulates in fp32.  One intentional numerical
+divergence: InvConvNear uses log|det| (slogdet) where torch.logdet would NaN
+on a negative determinant; determinants start positive (QR init with sign
+fix) so the two agree on the training trajectory.
+"""
+
+import typing
+
+import jax
+import jax.numpy as jnp
+
+from .conv import (
+    conv1d,
+    torch_conv_init,
+    weight_norm_init,
+    zero_conv_init,
+)
+from .attention import dropout
+from .gated import gated_tanh_sigmoid
+
+Params = typing.Dict[str, typing.Any]
+
+
+# ---------------------------------------------------------------------------
+# squeeze / unsqueeze (utils.py:135-160)
+# ---------------------------------------------------------------------------
+
+
+def squeeze(
+    x: jnp.ndarray, x_mask: typing.Optional[jnp.ndarray], n_sqz: int = 2
+) -> typing.Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fold time into channels: [b, t, c] -> [b, t//n, c*n].
+
+    Output channel j*c+ci holds input frame t'*n+j, channel ci — the same
+    ordering as the reference's view/permute (utils.py:140-141).
+    Mask is subsampled at stride n starting at n-1 (utils.py:144).
+    """
+    b, t, c = x.shape
+    t_trunc = (t // n_sqz) * n_sqz
+    x = x[:, :t_trunc]
+    x_sqz = x.reshape(b, t_trunc // n_sqz, n_sqz * c)
+    if x_mask is not None:
+        x_mask = x_mask[:, n_sqz - 1 :: n_sqz]
+    else:
+        x_mask = jnp.ones((b, t_trunc // n_sqz, 1), x.dtype)
+    return x_sqz * x_mask, x_mask
+
+
+def unsqueeze(
+    x: jnp.ndarray, x_mask: typing.Optional[jnp.ndarray], n_sqz: int = 2
+) -> typing.Tuple[jnp.ndarray, jnp.ndarray]:
+    """Inverse of squeeze: [b, t, C] -> [b, t*n, C//n] (utils.py:150-160)."""
+    b, t, c = x.shape
+    x_unsqz = x.reshape(b, t * n_sqz, c // n_sqz)
+    if x_mask is not None:
+        x_mask = jnp.repeat(x_mask, n_sqz, axis=1)
+    else:
+        x_mask = jnp.ones((b, t * n_sqz, 1), x.dtype)
+    return x_unsqz * x_mask, x_mask
+
+
+# ---------------------------------------------------------------------------
+# ActNorm (layers.py:173-221)
+# ---------------------------------------------------------------------------
+
+
+def actnorm_init(channels: int) -> Params:
+    return {
+        "logs": jnp.zeros((channels,), jnp.float32),
+        "bias": jnp.zeros((channels,), jnp.float32),
+    }
+
+
+def actnorm_fwd(params: Params, x, x_mask):
+    """z = (bias + exp(logs) * x) * mask; logdet = sum(logs) * n_frames."""
+    logs = params["logs"].astype(x.dtype)
+    bias = params["bias"].astype(x.dtype)
+    z = (bias + jnp.exp(logs) * x) * x_mask
+    x_len = jnp.sum(x_mask.astype(jnp.float32), axis=(1, 2))  # frames per sample
+    logdet = jnp.sum(params["logs"].astype(jnp.float32)) * x_len
+    return z, logdet
+
+
+def actnorm_inv(params: Params, x, x_mask):
+    logs = params["logs"].astype(x.dtype)
+    bias = params["bias"].astype(x.dtype)
+    return (x - bias) * jnp.exp(-logs) * x_mask
+
+
+def actnorm_ddi_stats(x, x_mask) -> Params:
+    """Data-dependent init: bias/logs from masked batch statistics so the
+    output is ~N(0, 1) per channel (layers.py:207-221)."""
+    xf = x.astype(jnp.float32)
+    mf = x_mask.astype(jnp.float32)
+    denom = jnp.sum(mf, axis=(0, 1))  # [1] broadcasting over channels
+    m = jnp.sum(xf * mf, axis=(0, 1)) / denom
+    m_sq = jnp.sum(xf * xf * mf, axis=(0, 1)) / denom
+    v = m_sq - m ** 2
+    logs = 0.5 * jnp.log(jnp.clip(v, min=1e-6))
+    return {"bias": -m * jnp.exp(-logs), "logs": -logs}
+
+
+# ---------------------------------------------------------------------------
+# InvConvNear (layers.py:224-275)
+# ---------------------------------------------------------------------------
+
+
+def invconv_init(rng: jax.Array, n_split: int = 4) -> Params:
+    w = jnp.linalg.qr(jax.random.normal(rng, (n_split, n_split)))[0]
+    # det-sign fix (layers.py:234-235): flip first column if det < 0
+    w = jnp.where(jnp.linalg.det(w) < 0, w.at[:, 0].multiply(-1.0), w)
+    return {"weight": w}
+
+
+def _invconv_regroup(x: jnp.ndarray, n_split: int) -> jnp.ndarray:
+    """[b, t, c] -> [b, t, s, c//s] with the reference's channel grouping
+    (layers.py:247-252): split channels in half, interleave."""
+    b, t, c = x.shape
+    s = n_split
+    x = x.reshape(b, t, 2, c // s, s // 2)
+    x = x.transpose(0, 1, 2, 4, 3)  # [b, t, 2, s//2, c//s]
+    return x.reshape(b, t, s, c // s)
+
+
+def _invconv_ungroup(z: jnp.ndarray, c: int, n_split: int) -> jnp.ndarray:
+    """Inverse of _invconv_regroup (layers.py:270-271)."""
+    b, t, s, _ = z.shape
+    z = z.reshape(b, t, 2, s // 2, c // s)
+    z = z.transpose(0, 1, 2, 4, 3)  # [b, t, 2, c//s, s//2]
+    return z.reshape(b, t, c)
+
+
+def invconv_apply(params: Params, x, x_mask, reverse: bool = False):
+    b, t, c = x.shape
+    w = params["weight"]
+    s = w.shape[0]
+    x_len = jnp.sum(x_mask.astype(jnp.float32), axis=(1, 2))
+
+    if reverse:
+        if "weight_inv" in params:
+            weight = params["weight_inv"]
+        else:
+            weight = jnp.linalg.inv(w.astype(jnp.float32))
+        logdet = None
+    else:
+        weight = w
+        sign, logabsdet = jnp.linalg.slogdet(w.astype(jnp.float32))
+        logdet = logabsdet * (c / s) * x_len  # [b]
+
+    xg = _invconv_regroup(x, s)
+    # z[o, q] = sum_i W[o, i] x[i, q] — a tiny s×s mix over the group dim.
+    # precision=highest: on TPU the default matmul precision is bf16-ish,
+    # which would break exact invertibility; this contraction is tiny.
+    z = jnp.einsum(
+        "btiq,oi->btoq", xg, weight.astype(x.dtype), precision=jax.lax.Precision.HIGHEST
+    )
+    z = _invconv_ungroup(z, c, s) * x_mask
+    return z, logdet
+
+
+def invconv_store_inverse(params: Params) -> Params:
+    out = dict(params)
+    out["weight_inv"] = jnp.linalg.inv(params["weight"].astype(jnp.float32))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# WN — WaveNet-style gated conv stack (layers.py:83-170)
+# ---------------------------------------------------------------------------
+
+
+def wn_init(
+    rng: jax.Array,
+    hidden_channels: int,
+    kernel_size: int,
+    n_layers: int,
+    gin_channels: int = 0,
+) -> Params:
+    h = hidden_channels
+    keys = jax.random.split(rng, 2 * n_layers + 1)
+    in_layers = [
+        weight_norm_init(keys[i], kernel_size, h, 2 * h) for i in range(n_layers)
+    ]
+    res_skip = [
+        weight_norm_init(keys[n_layers + i], 1, h, 2 * h) for i in range(n_layers - 1)
+    ]
+    params: Params = {
+        "in_layers": jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *in_layers),
+        "res_skip_last": weight_norm_init(keys[2 * n_layers - 1], 1, h, h),
+    }
+    if n_layers > 1:
+        params["res_skip"] = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *res_skip
+        )
+    if gin_channels != 0:
+        params["cond"] = weight_norm_init(
+            keys[2 * n_layers], 1, gin_channels, 2 * h * n_layers
+        )
+    return params
+
+
+def wn_apply(
+    params: Params,
+    x: jnp.ndarray,
+    x_mask: jnp.ndarray,
+    g: typing.Optional[jnp.ndarray],
+    hidden_channels: int,
+    dilation_rate: int,
+    n_layers: int,
+    p_dropout: float = 0.0,
+    rng: typing.Optional[jax.Array] = None,
+    deterministic: bool = True,
+) -> jnp.ndarray:
+    """x: [b, t, h]; g: optional [b, 1, gin] global conditioning."""
+    h = hidden_channels
+    output = jnp.zeros_like(x)
+
+    g_all = None
+    if g is not None:
+        g_all = conv1d(g, params["cond"])  # [b, 1, 2*h*n_layers]
+
+    for i in range(n_layers):
+        dilation = dilation_rate ** i
+        in_p = jax.tree_util.tree_map(lambda a: a[i], params["in_layers"])
+        x_in = conv1d(x, in_p, dilation=dilation)
+        if rng is not None:
+            x_in = dropout(jax.random.fold_in(rng, i), x_in, p_dropout, deterministic)
+        if g_all is not None:
+            g_l = g_all[..., i * 2 * h : (i + 1) * 2 * h]
+        else:
+            g_l = jnp.zeros_like(x_in)
+        acts = gated_tanh_sigmoid(x_in, g_l, h)
+
+        if i < n_layers - 1:
+            rs_p = jax.tree_util.tree_map(lambda a: a[i], params["res_skip"])
+            res_skip_acts = conv1d(acts, rs_p)
+            x = (x + res_skip_acts[..., :h]) * x_mask
+            output = output + res_skip_acts[..., h:]
+        else:
+            res_skip_acts = conv1d(acts, params["res_skip_last"])
+            output = output + res_skip_acts
+    return output * x_mask
+
+
+# ---------------------------------------------------------------------------
+# CouplingBlock (attentions.py:77-145)
+# ---------------------------------------------------------------------------
+
+
+def coupling_init(
+    rng: jax.Array,
+    in_channels: int,
+    hidden_channels: int,
+    kernel_size: int,
+    n_layers: int,
+    gin_channels: int = 0,
+) -> Params:
+    k_start, k_wn = jax.random.split(rng)
+    return {
+        "start": weight_norm_init(k_start, 1, in_channels // 2, hidden_channels),
+        "end": zero_conv_init(1, hidden_channels, in_channels),
+        "wn": wn_init(k_wn, hidden_channels, kernel_size, n_layers, gin_channels),
+    }
+
+
+def coupling_apply(
+    params: Params,
+    x: jnp.ndarray,
+    x_mask: jnp.ndarray,
+    g: typing.Optional[jnp.ndarray],
+    hidden_channels: int,
+    dilation_rate: int,
+    n_layers: int,
+    sigmoid_scale: bool = False,
+    reverse: bool = False,
+    p_dropout: float = 0.0,
+    rng: typing.Optional[jax.Array] = None,
+    deterministic: bool = True,
+):
+    """Affine coupling: identity on the first half, affine on the second."""
+    c = x.shape[-1]
+    x_0, x_1 = x[..., : c // 2], x[..., c // 2 :]
+
+    hidden = conv1d(x_0, params["start"]) * x_mask
+    hidden = wn_apply(
+        params["wn"],
+        hidden,
+        x_mask,
+        g,
+        hidden_channels,
+        dilation_rate,
+        n_layers,
+        p_dropout=p_dropout,
+        rng=rng,
+        deterministic=deterministic,
+    )
+    out = conv1d(hidden, params["end"])
+
+    m = out[..., : c // 2]
+    logs = out[..., c // 2 :]
+    if sigmoid_scale:
+        logs = jnp.log(1e-6 + jax.nn.sigmoid(logs + 2))
+
+    if reverse:
+        z_1 = (x_1 - m) * jnp.exp(-logs) * x_mask
+        logdet = None
+    else:
+        z_1 = (m + jnp.exp(logs) * x_1) * x_mask
+        logdet = jnp.sum(
+            logs.astype(jnp.float32) * x_mask.astype(jnp.float32), axis=(1, 2)
+        )
+
+    z = jnp.concatenate([x_0, z_1], axis=-1)
+    return z, logdet
+
+
+# ---------------------------------------------------------------------------
+# FlowSpecDecoder (models.py:145-215) — scan over stacked blocks
+# ---------------------------------------------------------------------------
+
+
+class DecoderHyper(typing.NamedTuple):
+    """Static hyperparameters of the flow decoder."""
+
+    in_channels: int
+    hidden_channels: int
+    kernel_size: int
+    dilation_rate: int
+    n_blocks: int
+    n_layers: int
+    p_dropout: float = 0.0
+    n_split: int = 4
+    n_sqz: int = 2
+    sigmoid_scale: bool = False
+    gin_channels: int = 0
+
+
+def decoder_init(rng: jax.Array, hp: DecoderHyper) -> Params:
+    c_sqz = hp.in_channels * hp.n_sqz
+
+    def one_block(key):
+        k_inv, k_coup = jax.random.split(key)
+        return {
+            "actnorm": actnorm_init(c_sqz),
+            "invconv": invconv_init(k_inv, hp.n_split),
+            "coupling": coupling_init(
+                k_coup,
+                c_sqz,
+                hp.hidden_channels,
+                hp.kernel_size,
+                hp.n_layers,
+                hp.gin_channels,
+            ),
+        }
+
+    blocks = [one_block(k) for k in jax.random.split(rng, hp.n_blocks)]
+    return {"blocks": jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *blocks)}
+
+
+def decoder_fwd(
+    params: Params,
+    x: jnp.ndarray,
+    x_mask: jnp.ndarray,
+    hp: DecoderHyper,
+    g: typing.Optional[jnp.ndarray] = None,
+    rng: typing.Optional[jax.Array] = None,
+    deterministic: bool = True,
+):
+    """Forward (mel -> z) with logdet accumulation.  x: [b, t, c]."""
+    if hp.n_sqz > 1:
+        x, x_mask = squeeze(x, x_mask, hp.n_sqz)
+    use_rng = rng if rng is not None else jax.random.PRNGKey(0)
+
+    def block(carry, block_params):
+        x, logdet_tot, i = carry
+        brng = jax.random.fold_in(use_rng, i)
+        x, ld1 = actnorm_fwd(block_params["actnorm"], x, x_mask)
+        x, ld2 = invconv_apply(block_params["invconv"], x, x_mask, reverse=False)
+        x, ld3 = coupling_apply(
+            block_params["coupling"],
+            x,
+            x_mask,
+            g,
+            hp.hidden_channels,
+            hp.dilation_rate,
+            hp.n_layers,
+            sigmoid_scale=hp.sigmoid_scale,
+            reverse=False,
+            p_dropout=hp.p_dropout,
+            rng=brng,
+            deterministic=deterministic,
+        )
+        return (x, logdet_tot + ld1 + ld2 + ld3, i + 1), None
+
+    b = x.shape[0]
+    (x, logdet_tot, _), _ = jax.lax.scan(
+        block, (x, jnp.zeros((b,), jnp.float32), jnp.int32(0)), params["blocks"]
+    )
+    if hp.n_sqz > 1:
+        x, x_mask = unsqueeze(x, x_mask, hp.n_sqz)
+    return x, logdet_tot
+
+
+def decoder_inv(
+    params: Params,
+    x: jnp.ndarray,
+    x_mask: jnp.ndarray,
+    hp: DecoderHyper,
+    g: typing.Optional[jnp.ndarray] = None,
+):
+    """Inverse (z -> mel): blocks in reverse order, each bijector inverted."""
+    if hp.n_sqz > 1:
+        x, x_mask = squeeze(x, x_mask, hp.n_sqz)
+
+    rev_blocks = jax.tree_util.tree_map(lambda a: a[::-1], params["blocks"])
+
+    def block(x, block_params):
+        x, _ = coupling_apply(
+            block_params["coupling"],
+            x,
+            x_mask,
+            g,
+            hp.hidden_channels,
+            hp.dilation_rate,
+            hp.n_layers,
+            sigmoid_scale=hp.sigmoid_scale,
+            reverse=True,
+            deterministic=True,
+        )
+        x, _ = invconv_apply(block_params["invconv"], x, x_mask, reverse=True)
+        x = actnorm_inv(block_params["actnorm"], x, x_mask)
+        return x, None
+
+    x, _ = jax.lax.scan(block, x, rev_blocks)
+    if hp.n_sqz > 1:
+        x, x_mask = unsqueeze(x, x_mask, hp.n_sqz)
+    return x, None
+
+
+def decoder_ddi(
+    params: Params,
+    x: jnp.ndarray,
+    x_mask: jnp.ndarray,
+    hp: DecoderHyper,
+    g: typing.Optional[jnp.ndarray] = None,
+) -> Params:
+    """Data-dependent ActNorm initialization (ddi.py:10-39 + layers.py:207-221).
+
+    Runs one forward pass; each block's ActNorm params are replaced by batch
+    statistics of its input before the block is applied.  Returns updated
+    decoder params.  Runs deterministically (no dropout) — the reference runs
+    with dropout active, which only adds noise to the init statistics.
+    """
+    if hp.n_sqz > 1:
+        x, x_mask = squeeze(x, x_mask, hp.n_sqz)
+
+    def block(x, block_params):
+        an = actnorm_ddi_stats(x, x_mask)
+        x, _ = actnorm_fwd(an, x, x_mask)
+        x, _ = invconv_apply(block_params["invconv"], x, x_mask, reverse=False)
+        x, _ = coupling_apply(
+            block_params["coupling"],
+            x,
+            x_mask,
+            g,
+            hp.hidden_channels,
+            hp.dilation_rate,
+            hp.n_layers,
+            sigmoid_scale=hp.sigmoid_scale,
+            reverse=False,
+            deterministic=True,
+        )
+        return x, an
+
+    _, actnorms = jax.lax.scan(block, x, params["blocks"])
+    new_blocks = dict(params["blocks"])
+    new_blocks["actnorm"] = actnorms
+    return {"blocks": new_blocks}
+
+
+def decoder_store_inverse(params: Params) -> Params:
+    """Precompute per-block inverse 1x1 weights for fast inference
+    (layers.py:274-275 equivalent; weight-norm folding happens lazily
+    in-graph and costs nothing at these sizes)."""
+    blocks = dict(params["blocks"])
+    inv = jax.vmap(lambda w: jnp.linalg.inv(w.astype(jnp.float32)))(
+        blocks["invconv"]["weight"]
+    )
+    blocks["invconv"] = dict(blocks["invconv"], weight_inv=inv)
+    return {"blocks": blocks}

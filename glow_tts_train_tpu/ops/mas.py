@@ -1,0 +1,147 @@
+"""Monotonic Alignment Search (MAS) — fully on-device.
+
+The reference implements MAS as a Cython/C kernel with a GPU→CPU→GPU
+round-trip every training step (`monotonic_align/core.pyx:9-45`,
+`monotonic_align/__init__.py:13-21`).  Here the same Viterbi-style dynamic
+program runs on the TPU as a vectorized column scan:
+
+* forward: ``lax.scan`` over mel frames y; each step updates the whole
+  Q[:, :, y] column for all batch elements with VPU ops (the per-column
+  recurrence Q[x,y] = logp[x,y] + max(Q[x,y-1], Q[x-1,y-1]) with the
+  x<=y upper band enforced by masking, exactly the semantics of
+  core.pyx:17-30 / utils.py:59-96)
+* backtrace: reverse ``lax.scan`` over y carrying the per-sample row index,
+  emitting one-hot path columns (core.pyx:32-35 semantics: move down iff
+  index==y or Q[index,y-1] < Q[index-1,y-1]; ties stay)
+
+Ragged (t_x_i, t_y_i) batches are handled by masking: the DP runs over the
+padded rectangle, the backtrace starts at (t_x_i-1, t_y_i-1) and is gated on
+y < t_y_i.  Out-of-band cells hold -1e9 and can never win a max.
+
+A Pallas kernel variant (mas_pallas.py) fuses the whole DP in VMEM for lower
+per-step overhead; this lax.scan version is the portable default and the
+correctness oracle target (tests/test_mas.py checks both against a numpy
+port of the core.pyx semantics).
+"""
+
+import functools
+import typing
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_MAX_NEG = -1e9
+
+
+def maximum_path(
+    logp: jnp.ndarray, mask: jnp.ndarray, impl: str = "scan"
+) -> jnp.ndarray:
+    """Find the best monotonic alignment path.
+
+    logp: [b, t_x, t_y] pairwise log-likelihoods
+    mask: [b, t_x, t_y] 0/1 attention mask (rectangular per sample)
+    returns: [b, t_x, t_y] 0/1 path, dtype of logp
+
+    API parity with reference monotonic_align/__init__.py:6-21 — but no host
+    round-trip: everything stays on device and is jit/grad-safe (the result
+    should be wrapped in stop_gradient by the caller, as the reference
+    detaches it).
+    """
+    if impl == "scan":
+        return _maximum_path_scan(logp, mask)
+    if impl == "pallas":
+        from .mas_pallas import maximum_path_pallas
+
+        return maximum_path_pallas(logp, mask)
+    raise ValueError(f"unknown MAS impl: {impl}")
+
+
+@jax.jit
+def _maximum_path_scan(logp: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    dtype = logp.dtype
+    b, t_x, t_y = logp.shape
+    maskf = mask.astype(jnp.float32)
+    value = logp.astype(jnp.float32) * maskf  # zero padding region, like ref
+
+    t_x_len = jnp.sum(mask[:, :, 0], axis=1).astype(jnp.int32)  # [b]
+    t_y_len = jnp.sum(mask[:, 0, :], axis=1).astype(jnp.int32)  # [b]
+
+    x_range = jnp.arange(t_x, dtype=jnp.int32)[None, :]  # [1, t_x]
+
+    # ---- forward DP over columns ----
+    def fwd(carry, logp_col):
+        v, y = carry  # v: [b, t_x] = Q[:, :, y-1]
+        # v0[x] = Q[x-1, y-1] (shift right, -inf at x=0)
+        v0 = jnp.concatenate(
+            [jnp.full((b, 1), _MAX_NEG, jnp.float32), v[:, :-1]], axis=1
+        )
+        stay = v >= v0  # ties stay (core.pyx:34 uses strict < to move)
+        v_max = jnp.where(stay, v, v0)
+        v_new = jnp.where(x_range <= y, v_max + logp_col, _MAX_NEG)
+        return (v_new, y + 1), stay
+
+    # iterate columns: xs = value transposed to [t_y, b, t_x]
+    v0 = jnp.zeros((b, t_x), jnp.float32)
+    (_, _), direction = jax.lax.scan(
+        fwd, (v0, jnp.int32(0)), value.transpose(2, 0, 1)
+    )
+    # direction: [t_y, b, t_x] bool; True = stay. Outside the mask force
+    # "stay" (reference utils.py:86: direction = where(mask, direction, 1)).
+    direction = jnp.where(mask.transpose(2, 0, 1), direction, True)
+
+    # ---- backtrace ----
+    y_range = jnp.arange(t_y, dtype=jnp.int32)
+
+    def bwd(index, inp):
+        dir_col, y = inp  # dir_col: [b, t_x]
+        active = y < t_y_len  # [b]
+        path_col = (x_range[0][None, :] == index[:, None]) & active[:, None]
+        d = jnp.take_along_axis(
+            dir_col.astype(jnp.int32), index[:, None], axis=1
+        )[:, 0]
+        index_new = jnp.where(active, jnp.maximum(index + d - 1, 0), index)
+        return index_new, path_col
+
+    init_index = jnp.maximum(t_x_len - 1, 0)
+    _, path_cols = jax.lax.scan(
+        bwd, init_index, (direction, y_range), reverse=True
+    )
+    # path_cols: [t_y, b, t_x] -> [b, t_x, t_y]
+    path = path_cols.transpose(1, 2, 0).astype(dtype)
+    return path * mask.astype(dtype)
+
+
+def maximum_path_numpy(
+    value: np.ndarray,
+    mask: np.ndarray,
+    max_neg_val: float = -1e9,
+) -> np.ndarray:
+    """Reference-semantics numpy oracle (direct port of the core.pyx DP,
+    including the in-place banded update and the strict-inequality
+    backtrace).  Used for testing and as a host-side fallback."""
+    value = (value * mask).astype(np.float32).copy()
+    b, t_x, t_y = value.shape
+    paths = np.zeros_like(value, dtype=np.int32)
+    t_xs = mask.sum(1)[:, 0].astype(np.int32)
+    t_ys = mask.sum(2)[:, 0].astype(np.int32)
+    for i in range(b):
+        _maximum_path_each_numpy(paths[i], value[i], t_xs[i], t_ys[i], max_neg_val)
+    return paths.astype(value.dtype) * mask
+
+
+def _maximum_path_each_numpy(path, value, t_x, t_y, max_neg_val):
+    """Single-sample DP, semantics of core.pyx:9-35."""
+    index = t_x - 1
+    for y in range(t_y):
+        for x in range(max(0, t_x + y - t_y), min(t_x, y + 1)):
+            v_cur = max_neg_val if x == y else value[x, y - 1]
+            if x == 0:
+                v_prev = 0.0 if y == 0 else max_neg_val
+            else:
+                v_prev = value[x - 1, y - 1]
+            value[x, y] = max(v_cur, v_prev) + value[x, y]
+    for y in range(t_y - 1, -1, -1):
+        path[index, y] = 1
+        if index != 0 and (index == y or value[index, y - 1] < value[index - 1, y - 1]):
+            index = index - 1

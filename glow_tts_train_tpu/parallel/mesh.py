@@ -1,0 +1,49 @@
+"""Mesh construction and sharding helpers.
+
+The reference's distributed layer is NCCL DDP: one process per GPU, gradient
+all-reduce in backward, DistributedSampler for data, rank-0 checkpointing
+(`__main__.py:83-88,235,268-271`, `train.py:60`).
+
+The TPU-native equivalent has no explicit communication backend at all: we
+build a 1-D ``jax.sharding.Mesh`` over all devices, shard the batch along a
+``data`` axis with NamedSharding, replicate parameters, and jit one train
+step — XLA inserts the gradient all-reduce over ICI automatically.  Growing
+to tp/pp later is a sharding-annotation change, not a rewrite; parameters
+already live in a mesh-aware pytree.
+
+Multi-host: each host feeds its local shard of the global batch
+(``process_index``-strided data, data/sampler.py) and
+``jax.process_index() == 0`` gates checkpoint writes.
+"""
+
+import typing
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+
+def default_mesh(
+    axis_name: str = "data", devices: typing.Optional[typing.Sequence] = None
+) -> Mesh:
+    """1-D data-parallel mesh over all (or the given) devices."""
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
+    """Shard the leading (batch) dimension across the mesh."""
+    return NamedSharding(mesh, PartitionSpec(axis_name))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, PartitionSpec())
+
+
+def shard_batch(batch, mesh: typing.Optional[Mesh], axis_name: str = "data"):
+    """Device-put a host batch (pytree of np arrays) with batch-dim sharding."""
+    if mesh is None:
+        return jax.device_put(batch)
+    sharding = batch_sharding(mesh, axis_name)
+    return jax.tree_util.tree_map(lambda a: jax.device_put(a, sharding), batch)

@@ -1,0 +1,218 @@
+"""Training: jit-compiled train step, DDI initialization, and the epoch loop.
+
+Reference equivalents: `train.py` (epoch/step loops :21-162), `ddi.py`
+(data-dependent init :10-39), with the TPU-native redesign:
+
+* ONE jit-compiled step — forward, losses, backward, clip, Adam update, and
+  the Noam lr bump all fuse into a single XLA program; gradients average
+  across the mesh with compiler-inserted collectives (no DDP wrapper)
+* bf16 compute / fp32 master params when ``config.fp16_run`` is set (the
+  TPU replacement for torch AMP + GradScaler: bf16 has fp32's exponent range
+  so no loss-scaling is needed)
+* per-step host sync is optional (the reference calls ``loss_g.item()``
+  every step, train.py:131 — a forced D2H sync; we only pull metrics at log
+  boundaries)
+"""
+
+import logging
+import time
+import typing
+from functools import partial
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from .config import TrainingConfig
+from .models import (
+    GlowTTSHyper,
+    ddi_init,
+    duration_loss,
+    forward_train,
+    hyper_from_config,
+    init_model,
+    mle_loss,
+)
+from .optimize import current_lr, make_optimizer
+from .parallel import batch_sharding, default_mesh, replicated, shard_batch
+
+_LOGGER = logging.getLogger("glow_tts_train_tpu")
+
+Params = typing.Dict[str, typing.Any]
+
+
+class TrainState(typing.NamedTuple):
+    params: Params
+    opt_state: typing.Any
+    step: jnp.ndarray  # global step, int32
+
+
+def create_state(
+    config: TrainingConfig, rng: jax.Array, global_step: int = 1
+) -> TrainState:
+    hp = hyper_from_config(config)
+    params = init_model(rng, hp)
+    tx = make_optimizer(config)
+    # jit: one device program instead of one dispatch per zeros_like leaf
+    opt_state = jax.jit(tx.init)(params)
+    return TrainState(params, opt_state, jnp.asarray(global_step, jnp.int32))
+
+
+def make_train_step(
+    config: TrainingConfig,
+    mesh=None,
+    mas_impl: str = "scan",
+    donate: bool = True,
+):
+    """Build the jit-compiled train step.
+
+    Returns ``step_fn(state, batch, rng) -> (state, metrics)`` where batch is
+    a dict with keys x, x_lengths, y, y_lengths and optional speaker_ids.
+    """
+    hp = hyper_from_config(config)
+    tx = make_optimizer(config)
+    compute_dtype = jnp.bfloat16 if config.fp16_run else jnp.float32
+    multispeaker = config.model.n_speakers > 1
+
+    def loss_fn(params, batch, rng):
+        g_ids = batch.get("speaker_ids") if multispeaker else None
+        (
+            (z, z_m, z_logs, logdet, z_mask),
+            (_x_m, _x_logs, _x_mask),
+            (_attn, logw, logw_),
+        ) = forward_train(
+            params,
+            hp,
+            batch["x"],
+            batch["x_lengths"],
+            batch["y"],
+            batch["y_lengths"],
+            g_ids=g_ids,
+            rng=rng,
+            deterministic=False,
+            compute_dtype=compute_dtype,
+            mas_impl=mas_impl,
+        )
+        l_mle = mle_loss(z, z_m, z_logs, logdet, z_mask)
+        l_length = duration_loss(logw, logw_, batch["x_lengths"])
+        loss = l_mle + l_length
+        return loss, {"loss": loss, "mle_loss": l_mle, "duration_loss": l_length}
+
+    def step_fn(state: TrainState, batch, rng):
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, rng
+        )
+        metrics["grad_norm"] = optax.global_norm(grads)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+    repl = replicated(mesh)
+    data = batch_sharding(mesh, config.mesh_axis)
+    return jax.jit(
+        step_fn,
+        in_shardings=(repl, data, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,) if donate else (),
+    )
+
+
+def initialize_model(
+    config: TrainingConfig, batch, rng: typing.Optional[jax.Array] = None, mesh=None
+) -> Params:
+    """Fresh init + data-dependent ActNorm init from one batch
+    (reference ddi.py:20-39; seeded from config.seed like torch.manual_seed)."""
+    hp = hyper_from_config(config)
+    if rng is None:
+        rng = jax.random.PRNGKey(config.seed)
+    params = init_model(rng, hp)
+    g_ids = batch.get("speaker_ids") if config.model.n_speakers > 1 else None
+    ddi_fn = jax.jit(partial(ddi_init, hp=hp))
+    if mesh is not None:
+        batch = shard_batch(batch, mesh, config.mesh_axis)
+    return ddi_fn(
+        params,
+        x=batch["x"],
+        x_lengths=batch["x_lengths"],
+        y=batch["y"],
+        y_lengths=batch["y_lengths"],
+        g_ids=g_ids,
+    )
+
+
+def train(
+    batches: typing.Callable[[], typing.Iterable[dict]],
+    config: TrainingConfig,
+    model_dir: Path,
+    state: TrainState,
+    checkpoint_epochs: int = 1,
+    mesh=None,
+    mas_impl: str = "scan",
+    log_every: int = 10,
+) -> TrainState:
+    """Epoch loop with periodic checkpointing (reference train.py:21-88).
+
+    ``batches`` is a zero-arg callable returning a fresh iterable of host
+    batches each epoch (shapes should be length-bucketed; each distinct
+    shape compiles once).
+    """
+    from .checkpoint import Checkpoint, save_checkpoint  # local import (cycle)
+
+    step_fn = make_train_step(config, mesh=mesh, mas_impl=mas_impl)
+    base_rng = jax.random.PRNGKey(config.seed)
+    is_chief = jax.process_index() == 0
+
+    for epoch in range(1, config.epochs + 1):
+        epoch_start = time.perf_counter()
+        epoch_metrics = []
+        for batch in batches():
+            step = int(state.step)
+            rng = jax.random.fold_in(base_rng, step)
+            sharded = shard_batch(batch, mesh, config.mesh_axis)
+            state, metrics = step_fn(state, sharded, rng)
+            epoch_metrics.append(metrics)
+            if log_every and (step % log_every) == 0:
+                _LOGGER.debug(
+                    "Loss: %s (step=%s)", float(metrics["loss"]), step
+                )
+
+        if epoch_metrics:
+            avg = float(
+                jnp.mean(jnp.stack([m["loss"] for m in epoch_metrics]))
+            )
+            _LOGGER.info(
+                "Avg. Loss for epoch %s: %s (global step=%s)",
+                epoch,
+                avg,
+                int(state.step),
+            )
+
+        if (epoch % checkpoint_epochs) == 0 and is_chief:
+            global_step = int(state.step)
+            checkpoint_path = Path(model_dir) / f"checkpoint_{global_step}.npz"
+            save_checkpoint(
+                Checkpoint(
+                    params=state.params,
+                    opt_state=state.opt_state,
+                    learning_rate=current_lr(config, global_step),
+                    global_step=global_step,
+                    version=config.version,
+                ),
+                checkpoint_path,
+            )
+            config_path = Path(model_dir) / f"config_{global_step}.json"
+            with open(config_path, "w") as config_file:
+                config.save(config_file)
+            _LOGGER.info("Saved checkpoint to %s", checkpoint_path)
+
+        _LOGGER.debug(
+            "Epoch %s complete in %s second(s) (global step=%s)",
+            epoch,
+            time.perf_counter() - epoch_start,
+            int(state.step),
+        )
+    return state

@@ -1,0 +1,94 @@
+"""Checkpoint round-trip + tolerant-merge tests (reference checkpoint.py)."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from glow_tts_train_tpu import training
+from glow_tts_train_tpu.checkpoint import Checkpoint, load_checkpoint, save_checkpoint
+from glow_tts_train_tpu.models import hyper_from_config, init_model
+
+from helpers import tiny_config
+
+
+def _tree_equal(a, b):
+    la = jax.tree_util.tree_leaves(a)
+    lb = jax.tree_util.tree_leaves(b)
+    assert len(la) == len(lb)
+    for x, y in zip(la, lb):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=0)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    config = tiny_config()
+    state = training.create_state(config, jax.random.PRNGKey(0), global_step=41)
+    path = tmp_path / "checkpoint_41.npz"
+    save_checkpoint(
+        Checkpoint(
+            params=state.params,
+            opt_state=state.opt_state,
+            learning_rate=0.00123,
+            global_step=41,
+            version=1,
+        ),
+        path,
+    )
+    loaded = load_checkpoint(path, config)
+    assert loaded.global_step == 41
+    assert abs(loaded.learning_rate - 0.00123) < 1e-9
+    assert loaded.version == 1
+    _tree_equal(loaded.params, state.params)
+    _tree_equal(loaded.opt_state, state.opt_state)
+
+
+def test_tolerant_merge_missing_keys(tmp_path, caplog):
+    """Keys missing from the checkpoint keep fresh-init values with a warning
+    (reference checkpoint.py:84-93 — enables new-layer fine-tuning)."""
+    config = tiny_config()
+    state = training.create_state(config, jax.random.PRNGKey(0))
+    path = tmp_path / "ckpt.npz"
+    save_checkpoint(
+        Checkpoint(state.params, 1.0, 1, 1, opt_state=None), path
+    )
+
+    # widen the model: add speakers → emb_g is new
+    config2 = tiny_config(n_speakers=3, gin_channels=4)
+    import logging
+
+    with caplog.at_level(logging.WARNING):
+        loaded = load_checkpoint(path, config2, load_optimizer=False)
+    assert "emb_g" in loaded.params
+    assert any("not in the checkpoint" in r.message for r in caplog.records)
+    # shared keys restored exactly
+    np.testing.assert_allclose(
+        np.asarray(loaded.params["emb"]), np.asarray(state.params["emb"])
+    )
+
+
+def test_resume_continues_training(tmp_path):
+    """Save mid-training, reload, keep stepping — optimizer state including
+    the Noam schedule count must survive."""
+    config = tiny_config()
+    config.warmup_steps = 10
+    state = training.create_state(config, jax.random.PRNGKey(0))
+    step_fn = training.make_train_step(config, donate=False)
+
+    from helpers import random_batch
+
+    batch = {k: jnp.asarray(v) for k, v in random_batch(config, np.random.default_rng(0)).items()}
+    for i in range(3):
+        state, _ = step_fn(state, batch, jax.random.PRNGKey(i))
+
+    path = tmp_path / "ckpt.npz"
+    save_checkpoint(
+        Checkpoint(state.params, 1.0, int(state.step), 1, opt_state=state.opt_state),
+        path,
+    )
+    loaded = load_checkpoint(path, config)
+    state2 = training.TrainState(
+        loaded.params, loaded.opt_state, jnp.asarray(loaded.global_step, jnp.int32)
+    )
+    state2, metrics = step_fn(state2, batch, jax.random.PRNGKey(10))
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state2.step) == 5

@@ -1,0 +1,78 @@
+"""MAS correctness: the on-device scan implementation must reproduce the
+reference Cython DP semantics (oracle: numpy port of core.pyx in ops/mas.py)
+on random ragged batches."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from glow_tts_train_tpu.ops import mas
+
+
+def random_case(rng, b, t_x, t_y):
+    logp = rng.standard_normal((b, t_x, t_y)).astype(np.float32) * 3.0
+    t_xs = rng.integers(1, t_x + 1, size=b)
+    t_ys = np.maximum(rng.integers(1, t_y + 1, size=b), t_xs)  # need t_y >= t_x
+    mask = np.zeros((b, t_x, t_y), np.float32)
+    for i in range(b):
+        mask[i, : t_xs[i], : t_ys[i]] = 1.0
+    return logp, mask
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+@pytest.mark.parametrize("shape", [(4, 7, 13), (3, 16, 16), (2, 25, 80), (1, 1, 1)])
+def test_scan_matches_cython_oracle(seed, shape):
+    rng = np.random.default_rng(seed)
+    logp, mask = random_case(rng, *shape)
+
+    expected = mas.maximum_path_numpy(logp, mask)
+    got = np.asarray(mas.maximum_path(jnp.asarray(logp), jnp.asarray(mask)))
+
+    np.testing.assert_array_equal(got, expected)
+
+
+def test_path_properties():
+    rng = np.random.default_rng(42)
+    logp, mask = random_case(rng, 5, 20, 60)
+    path = np.asarray(mas.maximum_path(jnp.asarray(logp), jnp.asarray(mask)))
+
+    t_xs = mask.sum(1)[:, 0].astype(int)
+    t_ys = mask.sum(2)[:, 0].astype(int)
+    for i in range(5):
+        p = path[i, : t_xs[i], : t_ys[i]]
+        # each frame is assigned to exactly one phoneme
+        np.testing.assert_array_equal(p.sum(0), np.ones(t_ys[i]))
+        # monotonic, contiguous, every phoneme used at least once
+        rows = p.argmax(0)
+        assert (np.diff(rows) >= 0).all()
+        assert (np.diff(rows) <= 1).all()
+        assert rows[0] == 0 and rows[-1] == t_xs[i] - 1
+    # nothing outside the mask
+    assert (path * (1 - mask) == 0).all()
+
+
+def test_degenerate_equal_lengths():
+    # t_x == t_y forces the diagonal path
+    b, t = 3, 12
+    rng = np.random.default_rng(7)
+    logp = rng.standard_normal((b, t, t)).astype(np.float32)
+    mask = np.ones((b, t, t), np.float32)
+    path = np.asarray(mas.maximum_path(jnp.asarray(logp), jnp.asarray(mask)))
+    np.testing.assert_array_equal(path, np.broadcast_to(np.eye(t, dtype=np.float32), (b, t, t)))
+
+
+def test_cpp_kernel_matches_oracle():
+    """Native C++/OpenMP kernel (native/mas.cpp) vs the numpy oracle."""
+    from glow_tts_train_tpu.ops import mas_native
+
+    if not mas_native.available():
+        import pytest
+
+        pytest.skip("no C++ toolchain available")
+
+    rng = np.random.default_rng(11)
+    logp, mask = random_case(rng, 6, 19, 37)
+    expected = mas.maximum_path_numpy(logp, mask)
+    got = mas_native.maximum_path_cpp(logp, mask)
+    np.testing.assert_array_equal(got, expected)

@@ -1,0 +1,101 @@
+"""Multi-device tests on the virtual 8-CPU mesh: data-parallel training must
+match single-device results, and the graft dryrun must pass."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from glow_tts_train_tpu import training
+from glow_tts_train_tpu.parallel import default_mesh, shard_batch
+
+from helpers import random_batch, tiny_config
+
+
+def test_eight_virtual_devices():
+    assert len(jax.devices()) == 8, jax.devices()
+
+
+def test_data_parallel_matches_single_device():
+    """Loss and gradients on an 8-device mesh == one device (the all-reduce
+    is a mean over the same global batch).  Gradients are compared at fp32
+    reduction-noise tolerance relative to the global gradient scale — raw
+    post-Adam params are NOT compared because Adam's eps amplifies
+    noise-level differences of near-zero gradients (e.g. the attention key
+    bias, whose true gradient vanishes by softmax shift invariance)."""
+    from glow_tts_train_tpu.models import (
+        duration_loss,
+        forward_train,
+        hyper_from_config,
+        init_model,
+        mle_loss,
+    )
+    from glow_tts_train_tpu.parallel import batch_sharding, replicated
+
+    config = tiny_config()
+    hp = hyper_from_config(config)
+    params = init_model(jax.random.PRNGKey(0), hp)
+    batch = random_batch(config, np.random.default_rng(0), b=8)
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    rng = jax.random.PRNGKey(7)
+
+    def loss_fn(params, batch, rng):
+        (z, z_m, z_logs, logdet, z_mask), _, (_, logw, logw_) = forward_train(
+            params, hp, batch["x"], batch["x_lengths"], batch["y"],
+            batch["y_lengths"], rng=rng, deterministic=False,
+        )
+        return mle_loss(z, z_m, z_logs, logdet, z_mask) + duration_loss(
+            logw, logw_, batch["x_lengths"]
+        )
+
+    vg = jax.value_and_grad(loss_fn)
+    loss_a, grads_a = jax.jit(vg)(params, batch, rng)
+
+    mesh = default_mesh(config.mesh_axis)
+    repl, data = replicated(mesh), batch_sharding(mesh, config.mesh_axis)
+    loss_b, grads_b = jax.jit(
+        vg, in_shardings=(repl, data, repl), out_shardings=(repl, repl)
+    )(params, shard_batch(batch, mesh, config.mesh_axis), rng)
+
+    np.testing.assert_allclose(float(loss_a), float(loss_b), rtol=1e-5)
+    gmax = max(
+        float(jnp.max(jnp.abs(a))) for a in jax.tree_util.tree_leaves(grads_a)
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(grads_a), jax.tree_util.tree_leaves(grads_b)
+    ):
+        worst = float(jnp.max(jnp.abs(a - b)))
+        assert worst <= 1e-5 * gmax, (worst, gmax)
+
+
+def test_ddi_on_mesh_matches_host():
+    config = tiny_config()
+    batch = random_batch(config, np.random.default_rng(1), b=8)
+    params_host = training.initialize_model(config, batch)
+    mesh = default_mesh(config.mesh_axis)
+    params_mesh = training.initialize_model(config, batch, mesh=mesh)
+    an_h = params_host["decoder"]["blocks"]["actnorm"]
+    an_m = params_mesh["decoder"]["blocks"]["actnorm"]
+    np.testing.assert_allclose(
+        np.asarray(an_h["logs"]), np.asarray(an_m["logs"]), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_graft_dryrun_multichip():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as graft
+
+    graft.dryrun_multichip(8)
+
+
+def test_graft_entry_compiles():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as graft
+
+    fn, example_args = graft.entry()
+    loss = jax.jit(fn)(*example_args)
+    assert np.isfinite(float(loss))
