@@ -1,0 +1,297 @@
+"""Numerical parity against the actual PyTorch reference.
+
+Loads the reference package from /root/reference (read-only), builds a tiny
+FlowGenerator with fixed seeds, maps its state dict onto our params via
+checkpoint.import_torch_state_dict, and compares forward outputs:
+
+* training forward: z, logdet, z_m, logw, logw_ (reference models.py:310-399)
+* generation forward with noise_scale=0: mel within 1e-3 max abs error — the
+  BASELINE.md parity target
+
+The reference's Cython monotonic_align extension is not built here, so it is
+stubbed with our numpy oracle (same core.pyx semantics, tested in
+test_mas.py) before importing reference models.
+"""
+
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+
+from glow_tts_train_tpu.checkpoint import import_torch_state_dict
+from glow_tts_train_tpu.models import (
+    forward_gen,
+    forward_train,
+    hyper_from_config,
+)
+from glow_tts_train_tpu.ops.mas import maximum_path_numpy
+
+from helpers import tiny_config
+
+REFERENCE_PATH = "/root/reference"
+
+
+@pytest.fixture(scope="module")
+def reference_models():
+    """Import reference glow_tts_train.models with a stubbed MAS extension."""
+    if REFERENCE_PATH not in sys.path:
+        sys.path.insert(0, REFERENCE_PATH)
+
+    # the reference calls the removed torch.qr (layers.py:233)
+    if not hasattr(torch, "qr"):
+        torch.qr = torch.linalg.qr  # type: ignore[attr-defined]
+
+    shim = types.ModuleType("glow_tts_train.monotonic_align")
+
+    def maximum_path(logp, mask):
+        path = maximum_path_numpy(
+            logp.detach().cpu().numpy().astype(np.float32),
+            mask.detach().cpu().numpy().astype(np.float32),
+        )
+        return torch.from_numpy(np.ascontiguousarray(path)).to(dtype=logp.dtype)
+
+    shim.maximum_path = maximum_path
+    sys.modules["glow_tts_train.monotonic_align"] = shim
+
+    from glow_tts_train import models as ref_models  # noqa: E402
+
+    return ref_models
+
+
+def build_pair(reference_models, config, seed=0):
+    """Build (torch model, our params) with identical weights."""
+    m = config.model
+    torch.manual_seed(seed)
+    ref = reference_models.FlowGenerator(
+        n_vocab=m.num_symbols,
+        hidden_channels=m.hidden_channels,
+        filter_channels=m.filter_channels,
+        filter_channels_dp=m.filter_channels_dp,
+        out_channels=config.audio.mel_channels,
+        kernel_size=m.kernel_size,
+        n_heads=m.n_heads,
+        n_layers_enc=m.n_layers_enc,
+        p_dropout=m.p_dropout,
+        n_blocks_dec=m.n_blocks_dec,
+        kernel_size_dec=m.kernel_size_dec,
+        dilation_rate=m.dilation_rate,
+        n_block_layers=m.n_block_layers,
+        p_dropout_dec=m.p_dropout_dec,
+        n_speakers=m.n_speakers,
+        gin_channels=m.gin_channels,
+        n_split=m.n_split,
+        n_sqz=m.n_sqz,
+        sigmoid_scale=m.sigmoid_scale,
+        window_size=m.window_size,
+        block_length=m.block_length,
+        mean_only=m.mean_only,
+        hidden_channels_enc=m.hidden_channels_enc,
+        hidden_channels_dec=m.hidden_channels_dec,
+        prenet=m.prenet,
+    )
+    ref.eval()
+    params = import_torch_state_dict(ref.state_dict(), config)
+    return ref, params
+
+
+def make_inputs(config, b=3, t_x=9, t_y=24, seed=1):
+    rng = np.random.default_rng(seed)
+    x = rng.integers(1, config.model.num_symbols, size=(b, t_x)).astype(np.int64)
+    x_lengths = np.asarray([t_x, t_x - 2, t_x - 3], np.int64)[:b]
+    for i in range(b):
+        x[i, x_lengths[i]:] = 0
+    y_lengths = np.asarray([t_y, t_y - 5, t_y - 8], np.int64)[:b]
+    y = rng.standard_normal((b, config.audio.mel_channels, t_y)).astype(np.float32)
+    for i in range(b):
+        y[i, :, y_lengths[i]:] = 0
+    return x, x_lengths, y, y_lengths
+
+
+def test_train_forward_parity(reference_models):
+    config = tiny_config()
+    ref, params = build_pair(reference_models, config)
+    x, x_lengths, y, y_lengths = make_inputs(config)
+
+    with torch.no_grad():
+        (
+            (z_t, z_m_t, z_logs_t, logdet_t, z_mask_t),
+            (x_m_t, x_logs_t, x_mask_t),
+            (attn_t, logw_t, logw__t),
+        ) = ref(
+            torch.from_numpy(x),
+            torch.from_numpy(x_lengths),
+            torch.from_numpy(y),
+            torch.from_numpy(y_lengths),
+        )
+
+    hp = hyper_from_config(config)
+    (
+        (z_j, z_m_j, z_logs_j, logdet_j, z_mask_j),
+        (x_m_j, x_logs_j, x_mask_j),
+        (attn_j, logw_j, logw__j),
+    ) = forward_train(
+        params,
+        hp,
+        jnp.asarray(x, jnp.int32),
+        jnp.asarray(x_lengths, jnp.int32),
+        jnp.asarray(y.transpose(0, 2, 1)),  # [b,c,t] -> [b,t,c]
+        jnp.asarray(y_lengths, jnp.int32),
+        deterministic=True,
+    )
+
+    def t2n_ct(a):  # torch [b,c,t] -> channels-last numpy
+        return a.numpy().transpose(0, 2, 1)
+
+    np.testing.assert_allclose(
+        np.asarray(x_m_j), t2n_ct(x_m_t), atol=2e-5, rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(logw_j)[:, :, 0], logw_t.numpy()[:, 0, :], atol=2e-5, rtol=1e-5
+    )
+    np.testing.assert_allclose(np.asarray(z_j), t2n_ct(z_t), atol=5e-5, rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(logdet_j), logdet_t.numpy(), atol=1e-3, rtol=1e-5
+    )
+    # MAS path: identical alignment from identical logp
+    np.testing.assert_array_equal(
+        np.asarray(attn_j), attn_t.numpy()[:, 0, :, :]
+    )
+    np.testing.assert_allclose(
+        np.asarray(z_m_j), t2n_ct(z_m_t), atol=5e-5, rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(logw__j)[:, :, 0], logw__t.numpy()[:, 0, :], atol=5e-5, rtol=1e-5
+    )
+
+    # losses
+    from glow_tts_train_tpu.models import duration_loss, mle_loss
+
+    l_mle_j = float(mle_loss(z_j, z_m_j, z_logs_j, logdet_j, z_mask_j))
+    l_len_j = float(
+        duration_loss(logw_j, logw__j, jnp.asarray(x_lengths, jnp.int32))
+    )
+    # reference loss formulas (utils.py:14-28) computed in torch
+    import math
+
+    loss_t = (
+        torch.sum(z_logs_t)
+        + 0.5 * torch.sum(torch.exp(-2 * z_logs_t) * ((z_t - z_m_t) ** 2))
+        - torch.sum(logdet_t)
+    ) / torch.sum(torch.ones_like(z_t) * z_mask_t) + 0.5 * math.log(2 * math.pi)
+    dur_t = torch.sum((logw_t - logw__t) ** 2) / torch.sum(
+        torch.from_numpy(x_lengths)
+    )
+    np.testing.assert_allclose(l_mle_j, float(loss_t), atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(l_len_j, float(dur_t), atol=1e-5, rtol=1e-5)
+
+
+def test_gen_forward_parity(reference_models):
+    """noise_scale=0 generation: <1e-3 max mel abs error (BASELINE.md)."""
+    config = tiny_config()
+    ref, params = build_pair(reference_models, config)
+    x, x_lengths, _, _ = make_inputs(config)
+
+    with torch.no_grad():
+        # the reference requires store_inverse() before reverse flows
+        # (layers.py:255 would conv with a None weight otherwise; every
+        # reference inference path calls it, infer.py:116)
+        ref.decoder.store_inverse()
+        (y_t, *_), _, _ = ref(
+            torch.from_numpy(x),
+            torch.from_numpy(x_lengths),
+            gen=True,
+            noise_scale=0.0,
+            length_scale=1.0,
+        )
+
+    hp = hyper_from_config(config)
+    t_y_ref = y_t.shape[2]
+    y_max = ((t_y_ref + 15) // 16 + 1) * 16
+    (y_j, _, _, _), _, _, y_lengths_j = forward_gen(
+        params,
+        hp,
+        jnp.asarray(x, jnp.int32),
+        jnp.asarray(x_lengths, jnp.int32),
+        y_max_length=y_max,
+        noise_rng=jax.random.PRNGKey(0),
+        noise_scale=0.0,
+        length_scale=1.0,
+    )
+
+    y_j = np.asarray(y_j).transpose(0, 2, 1)  # -> [b, c, t]
+    y_t = y_t.numpy()
+    y_lengths_j = np.asarray(y_lengths_j)
+    # reference pads outputs to the longest sample in batch
+    assert int(y_lengths_j.max()) == t_y_ref
+    for i in range(y_t.shape[0]):
+        L = int(y_lengths_j[i])
+        err = np.abs(y_j[i, :, :L] - y_t[i, :, :L]).max()
+        assert err < 1e-3, f"sample {i}: max mel abs err {err}"
+        # beyond each sample's length both are masked to zero
+        assert np.abs(y_j[i, :, L:]).max() == 0
+
+
+def test_gen_forward_parity_length_scale(reference_models):
+    config = tiny_config()
+    ref, params = build_pair(reference_models, config)
+    x, x_lengths, _, _ = make_inputs(config)
+
+    with torch.no_grad():
+        ref.decoder.store_inverse()
+        (y_t, *_), _, _ = ref(
+            torch.from_numpy(x),
+            torch.from_numpy(x_lengths),
+            gen=True,
+            noise_scale=0.0,
+            length_scale=1.7,
+        )
+    hp = hyper_from_config(config)
+    y_max = ((y_t.shape[2] + 15) // 16 + 1) * 16
+    (y_j, _, _, _), _, _, y_lengths_j = forward_gen(
+        params, hp,
+        jnp.asarray(x, jnp.int32), jnp.asarray(x_lengths, jnp.int32),
+        y_max_length=y_max, noise_rng=jax.random.PRNGKey(0),
+        noise_scale=0.0, length_scale=1.7,
+    )
+    assert int(np.asarray(y_lengths_j).max()) == y_t.shape[2]
+    y_j = np.asarray(y_j).transpose(0, 2, 1)
+    L = int(np.asarray(y_lengths_j)[0])
+    assert np.abs(y_j[0, :, :L] - y_t.numpy()[0, :, :L]).max() < 1e-3
+
+
+def test_multispeaker_parity(reference_models):
+    config = tiny_config(n_speakers=3, gin_channels=4)
+    ref, params = build_pair(reference_models, config, seed=2)
+    x, x_lengths, y, y_lengths = make_inputs(config)
+    g = np.asarray([0, 2, 1], np.int64)
+
+    with torch.no_grad():
+        ((z_t, z_m_t, *_), _, (attn_t, logw_t, _)) = ref(
+            torch.from_numpy(x),
+            torch.from_numpy(x_lengths),
+            torch.from_numpy(y),
+            torch.from_numpy(y_lengths),
+            g=torch.from_numpy(g),
+        )
+
+    hp = hyper_from_config(config)
+    ((z_j, z_m_j, *_), _, (attn_j, logw_j, _)) = forward_train(
+        params, hp,
+        jnp.asarray(x, jnp.int32), jnp.asarray(x_lengths, jnp.int32),
+        jnp.asarray(y.transpose(0, 2, 1)), jnp.asarray(y_lengths, jnp.int32),
+        g_ids=jnp.asarray(g, jnp.int32),
+        deterministic=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(z_j), z_t.numpy().transpose(0, 2, 1), atol=5e-5, rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(logw_j)[:, :, 0], logw_t.numpy()[:, 0, :], atol=2e-5, rtol=1e-5
+    )
+    np.testing.assert_array_equal(np.asarray(attn_j), attn_t.numpy()[:, 0])
