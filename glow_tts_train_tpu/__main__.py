@@ -74,6 +74,14 @@ def main():
         help="Monotonic alignment search implementation",
     )
     parser.add_argument(
+        "--profile-dir",
+        help="Capture a jax.profiler device trace of training steps 5-15",
+    )
+    parser.add_argument(
+        "--metrics-file",
+        help="Append per-epoch metrics as JSON lines to this file",
+    )
+    parser.add_argument(
         "--debug", action="store_true", help="Print DEBUG messages to the console"
     )
     args = parser.parse_args()
@@ -246,6 +254,8 @@ def main():
             checkpoint_epochs=args.checkpoint_epochs,
             mesh=mesh,
             mas_impl=args.mas_impl,
+            profile_dir=Path(args.profile_dir) if args.profile_dir else None,
+            metrics_path=None if not args.metrics_file else Path(args.metrics_file),
         )
         _LOGGER.info("Training finished")
     except KeyboardInterrupt:

@@ -1,0 +1,129 @@
+"""Pallas TPU kernel for Monotonic Alignment Search.
+
+The lax.scan MAS (ops/mas.py) dispatches one XLA loop step per mel frame —
+correct everywhere, but each step is a handful of tiny VPU ops with loop
+overhead around them.  This kernel fuses the entire DP (forward column
+recurrence + backtrace) into ONE kernel: logp lives in VMEM, the column
+state is a register vector, and the sequential loops are in-kernel
+`fori_loop`s with zero dispatch overhead.
+
+Layout: work is tiled over batch chunks (grid over b/CHUNK); inside a chunk
+the DP state is [CHUNK, t_x] — CHUNK rides sublanes, t_x rides lanes, so the
+per-column update is a few full-width VPU ops.  The chunk size is chosen so
+logp + direction fit in VMEM.
+
+Semantics are identical to ops/mas.py (reference core.pyx:9-45): ties stay,
+move-down iff index==y or Q[index,y-1] < Q[index-1,y-1], per-sample ragged
+(t_x_i, t_y_i) handled by masking.  Verified against the same oracle in
+tests/test_mas.py.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_MAX_NEG = -1e9
+_VMEM_BUDGET = 10 * 1024 * 1024  # bytes for logp + direction blocks
+
+
+def _kernel(logp_ref, txl_ref, tyl_ref, path_ref, v_ref, dir_ref):
+    chunk, t_y, t_x = logp_ref.shape
+    lane = jax.lax.broadcasted_iota(jnp.int32, (chunk, t_x), 1)
+    txl = txl_ref[:]  # [chunk, 1]
+    tyl = tyl_ref[:]  # [chunk, 1]
+
+    # ---- forward DP over columns ----
+    v_ref[:] = jnp.zeros((chunk, t_x), jnp.float32)
+
+    def fwd(y, _):
+        v = v_ref[:]
+        row = logp_ref[:, y, :]  # [chunk, t_x]
+        v0 = pltpu.roll(v, shift=1, axis=1)
+        v0 = jnp.where(lane == 0, _MAX_NEG, v0)
+        stay = v >= v0
+        v_max = jnp.where(stay, v, v0)
+        v_ref[:] = jnp.where(lane <= y, v_max + row, _MAX_NEG)
+        # outside each sample's t_x force "stay" (ref utils.py:86)
+        dir_ref[y, :, :] = jnp.where(lane < txl, stay, True).astype(jnp.int32)
+        return 0
+
+    jax.lax.fori_loop(0, t_y, fwd, 0)
+
+    # ---- backtrace ----
+    path_ref[:] = jnp.zeros((chunk, t_y, t_x), jnp.float32)
+    index0 = jnp.maximum(txl - 1, 0)  # [chunk, 1]
+
+    def bwd(k, index):
+        y = t_y - 1 - k
+        active = y < tyl  # [chunk, 1]
+        onehot = lane == index  # [chunk, t_x]
+        path_ref[:, y, :] = jnp.where(active & onehot, 1.0, 0.0)
+        d = jnp.sum(
+            jnp.where(onehot, dir_ref[y, :, :], 0),
+            axis=1,
+            keepdims=True,
+        )  # [chunk, 1]
+        return jnp.where(active, jnp.maximum(index + d - 1, 0), index)
+
+    jax.lax.fori_loop(0, t_y, bwd, index0)
+
+
+def _pick_chunk(b: int, t_x: int, t_y: int) -> int:
+    # logp block f32 + direction block (bool ~ 1 byte, assume 4 to be safe)
+    per_sample = t_y * t_x * (4 + 4)
+    chunk = max(1, _VMEM_BUDGET // max(per_sample, 1))
+    chunk = min(chunk, b, 8)
+    while b % chunk != 0:
+        chunk -= 1
+    return max(chunk, 1)
+
+
+def maximum_path_pallas(
+    logp: jnp.ndarray, mask: jnp.ndarray, interpret: bool = None
+) -> jnp.ndarray:
+    """Drop-in replacement for ops.mas.maximum_path (impl='pallas').
+
+    logp, mask: [b, t_x, t_y] -> 0/1 path [b, t_x, t_y] in logp's dtype.
+    On non-TPU backends the kernel runs in interpreter mode (tests).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    dtype = logp.dtype
+    b, t_x, t_y = logp.shape
+    maskf = mask.astype(jnp.float32)
+    value = logp.astype(jnp.float32) * maskf
+    t_x_len = jnp.sum(mask[:, :, 0], axis=1).astype(jnp.int32)[:, None]  # [b,1]
+    t_y_len = jnp.sum(mask[:, 0, :], axis=1).astype(jnp.int32)[:, None]
+
+    # [b, t_x, t_y] -> [b, t_y, t_x]: columns become lane-contiguous rows
+    value_t = value.transpose(0, 2, 1)
+
+    chunk = _pick_chunk(b, t_x, t_y)
+    grid = (b // chunk,)
+
+    path_t = pl.pallas_call(
+        _kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (chunk, t_y, t_x), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((chunk, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (chunk, t_y, t_x), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, t_y, t_x), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((chunk, t_x), jnp.float32),
+            pltpu.VMEM((t_y, chunk, t_x), jnp.int32),
+        ],
+        interpret=interpret,
+    )(value_t, t_x_len, t_y_len)
+
+    path = path_t.transpose(0, 2, 1).astype(dtype)
+    return path * mask.astype(dtype)

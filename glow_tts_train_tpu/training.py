@@ -153,33 +153,56 @@ def train(
     mesh=None,
     mas_impl: str = "scan",
     log_every: int = 10,
+    profile_dir: typing.Optional[Path] = None,
+    metrics_path: typing.Optional[Path] = None,
 ) -> TrainState:
     """Epoch loop with periodic checkpointing (reference train.py:21-88).
 
     ``batches`` is a zero-arg callable returning a fresh iterable of host
     batches each epoch (shapes should be length-bucketed; each distinct
     shape compiles once).
+
+    Observability beyond the reference (which has DEBUG wall-clock logs
+    only, SURVEY §5): ``profile_dir`` captures a jax.profiler device trace
+    of steps 5-15; ``metrics_path`` appends one JSON line per epoch.
     """
+    import json
+
     from .checkpoint import Checkpoint, save_checkpoint  # local import (cycle)
+    from .optimize import current_lr as _current_lr
 
     step_fn = make_train_step(config, mesh=mesh, mas_impl=mas_impl)
     base_rng = jax.random.PRNGKey(config.seed)
     is_chief = jax.process_index() == 0
+    profiling = False
+    steps_done = 0
 
     for epoch in range(1, config.epochs + 1):
         epoch_start = time.perf_counter()
         epoch_metrics = []
         for batch in batches():
             step = int(state.step)
+            if profile_dir is not None and steps_done == 5 and not profiling:
+                jax.profiler.start_trace(str(profile_dir))
+                profiling = True
             rng = jax.random.fold_in(base_rng, step)
             sharded = shard_batch(batch, mesh, config.mesh_axis)
-            state, metrics = step_fn(state, sharded, rng)
+            with jax.profiler.StepTraceAnnotation("train_step", step_num=step):
+                state, metrics = step_fn(state, sharded, rng)
             epoch_metrics.append(metrics)
+            steps_done += 1
+            if profiling and steps_done >= 15:
+                jax.block_until_ready(metrics)
+                jax.profiler.stop_trace()
+                profiling = False
+                profile_dir = None
+                _LOGGER.info("Wrote profiler trace")
             if log_every and (step % log_every) == 0:
                 _LOGGER.debug(
                     "Loss: %s (step=%s)", float(metrics["loss"]), step
                 )
 
+        epoch_seconds = time.perf_counter() - epoch_start
         if epoch_metrics:
             avg = float(
                 jnp.mean(jnp.stack([m["loss"] for m in epoch_metrics]))
@@ -190,6 +213,19 @@ def train(
                 avg,
                 int(state.step),
             )
+            if metrics_path is not None and is_chief:
+                with open(metrics_path, "a") as metrics_file:
+                    json.dump(
+                        {
+                            "epoch": epoch,
+                            "global_step": int(state.step),
+                            "avg_loss": avg,
+                            "learning_rate": _current_lr(config, int(state.step)),
+                            "epoch_seconds": epoch_seconds,
+                        },
+                        metrics_file,
+                    )
+                    metrics_file.write("\n")
 
         if (epoch % checkpoint_epochs) == 0 and is_chief:
             global_step = int(state.step)
@@ -212,7 +248,10 @@ def train(
         _LOGGER.debug(
             "Epoch %s complete in %s second(s) (global step=%s)",
             epoch,
-            time.perf_counter() - epoch_start,
+            epoch_seconds,
             int(state.step),
         )
+    if profiling:
+        jax.profiler.stop_trace()
+        _LOGGER.info("Wrote profiler trace (training ended mid-capture)")
     return state

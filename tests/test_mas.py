@@ -76,3 +76,15 @@ def test_cpp_kernel_matches_oracle():
     expected = mas.maximum_path_numpy(logp, mask)
     got = mas_native.maximum_path_cpp(logp, mask)
     np.testing.assert_array_equal(got, expected)
+
+
+@pytest.mark.parametrize("shape", [(4, 8, 16), (2, 16, 40)])
+def test_pallas_kernel_matches_oracle(shape):
+    """Pallas TPU kernel (interpreter mode on CPU) vs the numpy oracle."""
+    rng = np.random.default_rng(21)
+    logp, mask = random_case(rng, *shape)
+    expected = mas.maximum_path_numpy(logp, mask)
+    got = np.asarray(
+        mas.maximum_path(jnp.asarray(logp), jnp.asarray(mask), impl="pallas")
+    )
+    np.testing.assert_array_equal(got, expected)
