@@ -6,8 +6,14 @@ Prints ONE JSON line:
    "unit": "frames/sec", "vs_baseline": null, ...}
 
 The reference publishes no numbers (BASELINE.md) — vs_baseline is null and
-this harness *is* the baseline record.  Extra context fields (step_time_ms,
-inference RTF, MAS latency) ride along for BENCH_r{N}.json history.
+this harness *is* the baseline record.  Extra fields (step time, inference
+RTF, MAS latency) ride along for BENCH_r{N}.json history.
+
+Methodology: remote/tunneled TPU backends add a ~30 ms RPC round-trip to
+every host fetch and make block_until_ready a no-op, so naive per-dispatch
+timing is garbage.  Every benchmark here chains K iterations ON DEVICE
+(lax.scan with a data dependency), fetches one scalar, and subtracts the
+measured RPC baseline.
 """
 
 import json
@@ -17,42 +23,63 @@ import time
 import numpy as np
 
 
-def bench_train(config, b=32, t_x=128, t_y=640, warmup=3, iters=10, mas_impl="scan"):
+def _log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def measure_rpc_baseline(reps=10):
     import jax
+    import jax.numpy as jnp
+
+    triv = jax.jit(lambda x: x + 1.0)
+    z = jnp.zeros(())
+    float(triv(z))
+    start = time.perf_counter()
+    for _ in range(reps):
+        float(triv(z))
+    return (time.perf_counter() - start) / reps
+
+
+def bench_train(config, rpc_base, b=32, t_x=128, t_y=640, iters=10, mas_impl="scan"):
+    import jax
+    import jax.numpy as jnp
 
     from glow_tts_train_tpu.training import create_state, make_train_step
 
     from __graft_entry__ import _synthetic_batch
 
-    print(f"bench_train: init (b={b}, t_x={t_x}, t_y={t_y})", file=sys.stderr, flush=True)
+    _log(f"bench_train: init (b={b}, t_x={t_x}, t_y={t_y})")
     state = create_state(config, jax.random.PRNGKey(0))
-    step_fn = make_train_step(config, mesh=None, mas_impl=mas_impl, donate=True)
-    batch = _synthetic_batch(config, b=b, t_x=t_x, t_y=t_y)
-    batch = {k: jax.device_put(v) for k, v in batch.items()}
-    rng = jax.random.PRNGKey(1)
+    step_fn = make_train_step(config, mesh=None, mas_impl=mas_impl, donate=False)
+    batch = {
+        k: jax.device_put(jnp.asarray(v))
+        for k, v in _synthetic_batch(config, b=b, t_x=t_x, t_y=t_y).items()
+    }
 
-    print("bench_train: compiling + warmup...", file=sys.stderr, flush=True)
-    for _ in range(warmup):
-        state, metrics = step_fn(state, batch, rng)
-    # fetch a scalar: block_until_ready alone can be a no-op on tunneled
-    # backends; a concrete host value cannot be
-    loss = float(metrics["loss"])
+    @jax.jit
+    def run_steps(state, batch, rng):
+        def body(st, i):
+            st, metrics = step_fn(st, batch, jax.random.fold_in(rng, i))
+            return st, metrics["loss"]
+
+        _, losses = jax.lax.scan(body, state, jnp.arange(iters))
+        return losses
+
+    _log("bench_train: compiling...")
+    losses = run_steps(state, batch, jax.random.PRNGKey(1))
+    loss = float(losses[-1])
     assert np.isfinite(loss), loss
-
-    print("bench_train: timing...", file=sys.stderr, flush=True)
+    _log("bench_train: timing...")
     start = time.perf_counter()
-    for _ in range(iters):
-        state, metrics = step_fn(state, batch, rng)
-    loss = float(metrics["loss"])
-    elapsed = time.perf_counter() - start
-    assert np.isfinite(loss), loss
+    losses = run_steps(state, batch, jax.random.PRNGKey(1))
+    float(losses[-1])
+    elapsed = time.perf_counter() - start - rpc_base
 
     step_time = elapsed / iters
-    frames_per_sec = b * t_y / step_time
-    return step_time, frames_per_sec
+    return step_time, b * t_y / step_time
 
 
-def bench_infer_rtf(config, t_x=128, y_max=1024, warmup=2, iters=10):
+def bench_infer_rtf(config, rpc_base, t_x=128, y_max=1024, iters=10):
     """Batch-1 inference real-time factor at 22050 Hz / hop 256."""
     import jax
     import jax.numpy as jnp
@@ -71,30 +98,33 @@ def bench_infer_rtf(config, t_x=128, y_max=1024, warmup=2, iters=10):
     x_lengths = jnp.asarray([t_x], jnp.int32)
 
     @jax.jit
-    def gen(params, x, x_lengths, key):
-        out = forward_gen(
-            params, hp, x, x_lengths, y_max_length=y_max,
-            noise_rng=key, noise_scale=0.333,
-        )
-        return out[0][0], out[3]
+    def gen_chain(params, x, x_lengths, key):
+        def body(carry, i):
+            out = forward_gen(
+                params, hp, x, x_lengths, y_max_length=y_max,
+                noise_rng=jax.random.fold_in(key, i), noise_scale=0.333,
+            )
+            y, y_lengths = out[0][0], out[3]
+            return carry + y[0, 0, 0] * 1e-9, y_lengths[0]
 
-    key = jax.random.PRNGKey(2)
-    for _ in range(warmup):
-        y, y_lengths = gen(params, x, x_lengths, key)
-    float(y[0, 0, 0])
+        acc, lens = jax.lax.scan(body, jnp.zeros(()), jnp.arange(iters))
+        return acc, lens
 
+    _log("bench_infer: compiling...")
+    acc, lens = gen_chain(params, x, x_lengths, jax.random.PRNGKey(2))
+    float(acc)
+    _log("bench_infer: timing...")
     start = time.perf_counter()
-    for _ in range(iters):
-        y, y_lengths = gen(params, x, x_lengths, key)
-    float(y[0, 0, 0])
-    elapsed = (time.perf_counter() - start) / iters
+    acc, lens = gen_chain(params, x, x_lengths, jax.random.PRNGKey(2))
+    float(acc)
+    elapsed = (time.perf_counter() - start - rpc_base) / iters
 
-    frames = float(np.asarray(y_lengths)[0])
+    frames = float(np.asarray(lens)[0])
     audio_seconds = frames * config.audio.hop_length / config.audio.sample_rate
     return elapsed / max(audio_seconds, 1e-9), elapsed, frames
 
 
-def bench_mas(b=32, t_x=128, t_y=640, warmup=2, iters=10, impl="scan"):
+def bench_mas(rpc_base, b=32, t_x=128, t_y=640, iters=20, impl="scan"):
     import jax
     import jax.numpy as jnp
 
@@ -104,16 +134,22 @@ def bench_mas(b=32, t_x=128, t_y=640, warmup=2, iters=10, impl="scan"):
     logp = jnp.asarray(rng.standard_normal((b, t_x, t_y)), jnp.float32)
     mask = jnp.ones((b, t_x, t_y), jnp.float32)
 
-    for _ in range(warmup):
-        p = mas.maximum_path(logp, mask, impl=impl)
-    float(p[0, 0, 0])
-    times = []
-    for _ in range(iters):
-        start = time.perf_counter()
-        p = mas.maximum_path(logp, mask, impl=impl)
-        float(p[0, 0, 0])
-        times.append(time.perf_counter() - start)
-    return float(np.percentile(times, 50))
+    @jax.jit
+    def chain(logp, mask):
+        def body(lp, _):
+            p = mas.maximum_path(lp, mask, impl=impl)
+            return lp + p * 1e-6, None
+
+        lp, _ = jax.lax.scan(body, logp, None, length=iters)
+        return lp
+
+    _log(f"bench_mas[{impl}]: compiling...")
+    r = chain(logp, mask)
+    float(r[0, 0, 0])
+    start = time.perf_counter()
+    r = chain(logp, mask)
+    float(r[0, 0, 0])
+    return (time.perf_counter() - start - rpc_base) / iters
 
 
 def main():
@@ -127,13 +163,16 @@ def main():
 
     config = _base_config()  # Glow-TTS base, bf16
 
-    step_time, frames_per_sec = bench_train(config)
-    rtf, infer_time, infer_frames = bench_infer_rtf(config)
-    mas_p50 = bench_mas(impl="scan")
+    rpc_base = measure_rpc_baseline()
+    _log(f"rpc baseline: {rpc_base * 1e3:.2f} ms")
+
+    step_time, frames_per_sec = bench_train(config, rpc_base)
+    rtf, infer_time, infer_frames = bench_infer_rtf(config, rpc_base)
+    mas_ms = bench_mas(rpc_base, impl="scan") * 1e3
     try:
-        mas_pallas_p50 = round(bench_mas(impl="pallas") * 1e3, 2)
+        mas_pallas_ms = round(bench_mas(rpc_base, impl="pallas") * 1e3, 3)
     except Exception as exc:  # keep the bench line even if the kernel fails
-        mas_pallas_p50 = f"error: {type(exc).__name__}"
+        mas_pallas_ms = f"error: {type(exc).__name__}"
 
     result = {
         "metric": "train_mel_frames_per_sec_per_chip",
@@ -147,8 +186,9 @@ def main():
             "infer_rtf_batch1": round(rtf, 5),
             "infer_time_s": round(infer_time, 4),
             "infer_frames": infer_frames,
-            "mas_p50_ms_b32_128x640": round(mas_p50 * 1e3, 2),
-            "mas_pallas_p50_ms_b32_128x640": mas_pallas_p50,
+            "mas_scan_ms_b32_128x640": round(mas_ms, 3),
+            "mas_pallas_ms_b32_128x640": mas_pallas_ms,
+            "rpc_baseline_ms": round(rpc_base * 1e3, 2),
             "precision": "bf16 compute / fp32 params",
         },
     }

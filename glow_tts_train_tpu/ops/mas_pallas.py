@@ -30,43 +30,46 @@ _VMEM_BUDGET = 10 * 1024 * 1024  # bytes for logp + direction blocks
 
 
 def _kernel(logp_ref, txl_ref, tyl_ref, path_ref, v_ref, dir_ref):
-    chunk, t_y, t_x = logp_ref.shape
+    # logp_ref/path_ref/dir_ref layout: [t_y, chunk, t_x] — y is the MAJOR
+    # dim so every per-column access is one contiguous [chunk, t_x] tile
+    # (dynamic slicing a middle dim would cross pages each iteration)
+    t_y, chunk, t_x = logp_ref.shape
     lane = jax.lax.broadcasted_iota(jnp.int32, (chunk, t_x), 1)
-    txl = txl_ref[:]  # [chunk, 1]
-    tyl = tyl_ref[:]  # [chunk, 1]
+    txl = txl_ref[:]  # [chunk, 1] int32
+    tyl = tyl_ref[:]  # [chunk, 1] int32
+    # f32 masks instead of i1 vectors: Mosaic rejects some bool-vector
+    # stores/broadcasts ("unsupported target bitwidth for truncation")
+    in_tx = jnp.where(lane < txl, 1.0, 0.0)  # [chunk, t_x]
 
     # ---- forward DP over columns ----
     v_ref[:] = jnp.zeros((chunk, t_x), jnp.float32)
 
     def fwd(y, _):
         v = v_ref[:]
-        row = logp_ref[:, y, :]  # [chunk, t_x]
+        row = logp_ref[y, :, :]  # [chunk, t_x]
         v0 = pltpu.roll(v, shift=1, axis=1)
         v0 = jnp.where(lane == 0, _MAX_NEG, v0)
-        stay = v >= v0
-        v_max = jnp.where(stay, v, v0)
+        stay = jnp.where(v >= v0, 1.0, 0.0)  # f32 0/1
+        v_max = jnp.maximum(v, v0)
         v_ref[:] = jnp.where(lane <= y, v_max + row, _MAX_NEG)
         # outside each sample's t_x force "stay" (ref utils.py:86)
-        dir_ref[y, :, :] = jnp.where(lane < txl, stay, True).astype(jnp.int32)
+        dir_ref[y, :, :] = stay * in_tx + (1.0 - in_tx)
         return 0
 
     jax.lax.fori_loop(0, t_y, fwd, 0)
 
     # ---- backtrace ----
-    path_ref[:] = jnp.zeros((chunk, t_y, t_x), jnp.float32)
+    path_ref[:] = jnp.zeros((t_y, chunk, t_x), jnp.float32)
     index0 = jnp.maximum(txl - 1, 0)  # [chunk, 1]
 
     def bwd(k, index):
         y = t_y - 1 - k
-        active = y < tyl  # [chunk, 1]
-        onehot = lane == index  # [chunk, t_x]
-        path_ref[:, y, :] = jnp.where(active & onehot, 1.0, 0.0)
-        d = jnp.sum(
-            jnp.where(onehot, dir_ref[y, :, :], 0),
-            axis=1,
-            keepdims=True,
-        )  # [chunk, 1]
-        return jnp.where(active, jnp.maximum(index + d - 1, 0), index)
+        active = jnp.where(y < tyl, 1.0, 0.0)  # [chunk, 1] f32
+        onehot = jnp.where(lane == index, 1.0, 0.0)  # [chunk, t_x] f32
+        path_ref[y, :, :] = active * onehot
+        d = jnp.sum(onehot * dir_ref[y, :, :], axis=1, keepdims=True)
+        step = jnp.maximum(index + d.astype(jnp.int32) - 1, 0)
+        return jnp.where(y < tyl, step, index)
 
     jax.lax.fori_loop(0, t_y, bwd, index0)
 
@@ -98,8 +101,9 @@ def maximum_path_pallas(
     t_x_len = jnp.sum(mask[:, :, 0], axis=1).astype(jnp.int32)[:, None]  # [b,1]
     t_y_len = jnp.sum(mask[:, 0, :], axis=1).astype(jnp.int32)[:, None]
 
-    # [b, t_x, t_y] -> [b, t_y, t_x]: columns become lane-contiguous rows
-    value_t = value.transpose(0, 2, 1)
+    # [b, t_x, t_y] -> [t_y, b, t_x]: y major (one contiguous tile per DP
+    # column), t_x on lanes
+    value_t = value.transpose(2, 0, 1)
 
     chunk = _pick_chunk(b, t_x, t_y)
     grid = (b // chunk,)
@@ -109,21 +113,21 @@ def maximum_path_pallas(
         grid=grid,
         in_specs=[
             pl.BlockSpec(
-                (chunk, t_y, t_x), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+                (t_y, chunk, t_x), lambda i: (0, i, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec((chunk, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((chunk, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (chunk, t_y, t_x), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            (t_y, chunk, t_x), lambda i: (0, i, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((b, t_y, t_x), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((t_y, b, t_x), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((chunk, t_x), jnp.float32),
-            pltpu.VMEM((t_y, chunk, t_x), jnp.int32),
+            pltpu.VMEM((t_y, chunk, t_x), jnp.float32),
         ],
         interpret=interpret,
     )(value_t, t_x_len, t_y_len)
 
-    path = path_t.transpose(0, 2, 1).astype(dtype)
+    path = path_t.transpose(1, 2, 0).astype(dtype)
     return path * mask.astype(dtype)

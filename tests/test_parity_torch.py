@@ -295,3 +295,44 @@ def test_multispeaker_parity(reference_models):
         np.asarray(logw_j)[:, :, 0], logw_t.numpy()[:, 0, :], atol=2e-5, rtol=1e-5
     )
     np.testing.assert_array_equal(np.asarray(attn_j), attn_t.numpy()[:, 0])
+
+
+def test_base_dims_parity(reference_models):
+    """Full Glow-TTS base channel dims (192 hidden, 12 flow blocks, 80 mels)
+    on short sequences: gen-mode mel must stay under the 1e-3 target."""
+    from glow_tts_train_tpu.config import TrainingConfig
+
+    config = TrainingConfig()
+    config.model.num_symbols = 50
+    config.bucket_size_text = 1
+    config.bucket_size_mel = 1
+    ref, params = build_pair(reference_models, config, seed=5)
+
+    rng = np.random.default_rng(9)
+    b, t_x = 2, 12
+    x = rng.integers(1, 50, size=(b, t_x)).astype(np.int64)
+    x_lengths = np.asarray([t_x, t_x - 4], np.int64)
+    x[1, t_x - 4:] = 0
+
+    with torch.no_grad():
+        ref.decoder.store_inverse()
+        (y_t, *_), _, _ = ref(
+            torch.from_numpy(x),
+            torch.from_numpy(x_lengths),
+            gen=True,
+            noise_scale=0.0,
+        )
+
+    hp = hyper_from_config(config)
+    y_max = ((y_t.shape[2] + 15) // 16 + 1) * 16
+    (y_j, _, _, _), _, _, y_lengths_j = forward_gen(
+        params, hp,
+        jnp.asarray(x, jnp.int32), jnp.asarray(x_lengths, jnp.int32),
+        y_max_length=y_max, noise_rng=jax.random.PRNGKey(0), noise_scale=0.0,
+    )
+    assert int(np.asarray(y_lengths_j).max()) == y_t.shape[2]
+    y_j = np.asarray(y_j).transpose(0, 2, 1)
+    for i in range(b):
+        L = int(np.asarray(y_lengths_j)[i])
+        err = np.abs(y_j[i, :, :L] - y_t.numpy()[i, :, :L]).max()
+        assert err < 1e-3, f"sample {i}: max mel abs err {err}"
