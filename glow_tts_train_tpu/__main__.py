@@ -225,11 +225,14 @@ def main():
     if args.checkpoint:
         _LOGGER.debug("Loading checkpoint from %s", args.checkpoint)
         ckpt = load_checkpoint(args.checkpoint, config)
-        tx = make_optimizer(config)
-        opt_state = ckpt.opt_state or tx.init(ckpt.params)
-        global_step = ckpt.global_step
+        import jax.flatten_util
         import jax.numpy as jnp
 
+        opt_state = ckpt.opt_state
+        if opt_state is None:
+            tx = make_optimizer(config)
+            opt_state = tx.init(jax.flatten_util.ravel_pytree(ckpt.params)[0])
+        global_step = ckpt.global_step
         state = TrainState(ckpt.params, opt_state, jnp.asarray(global_step, jnp.int32))
         _LOGGER.info(
             "Loaded checkpoint from %s (global step=%s, learning rate=%s)",

@@ -20,6 +20,8 @@ from dataclasses import dataclass
 from pathlib import Path
 
 import jax
+import jax.flatten_util
+import jax.numpy as jnp
 import numpy as np
 
 from .config import TrainingConfig
@@ -130,7 +132,11 @@ def load_checkpoint(
     opt_state = None
     if load_optimizer:
         tx = make_optimizer(config)
-        opt_state = tx.init(params)
+        # optimizer state is over the flat param vector (training.py)
+        flat, _ = jax.flatten_util.ravel_pytree(
+            jax.tree_util.tree_map(jnp.asarray, params)
+        )
+        opt_state = tx.init(flat)
         opt_keys = sorted(k for k in saved if k.startswith("opt/"))
         if opt_keys:
             leaves, treedef = jax.tree_util.tree_flatten(opt_state)

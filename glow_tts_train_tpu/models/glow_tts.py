@@ -489,3 +489,25 @@ def store_inverse(params: Params) -> Params:
     out = dict(params)
     out["decoder"] = decoder_store_inverse(params["decoder"])
     return out
+
+
+def setup_model(
+    config: TrainingConfig,
+    params: typing.Optional[Params] = None,
+    create_optimizer: bool = True,
+    rng: typing.Optional[jax.Array] = None,
+):
+    """Convenience factory mirroring the reference's setup_model
+    (models.py:417-470): returns (hyper, params, optimizer-or-None).
+
+    Unlike the reference there is no device placement step — arrays live
+    wherever jit places them."""
+    from ..optimize import make_optimizer
+
+    hp = hyper_from_config(config)
+    if params is None:
+        if rng is None:
+            rng = jax.random.PRNGKey(config.seed)
+        params = init_model(rng, hp)
+    optimizer = make_optimizer(config) if create_optimizer else None
+    return hp, params, optimizer

@@ -21,6 +21,7 @@ from functools import partial
 from pathlib import Path
 
 import jax
+import jax.flatten_util
 import jax.numpy as jnp
 import optax
 
@@ -54,8 +55,17 @@ def create_state(
     hp = hyper_from_config(config)
     params = init_model(rng, hp)
     tx = make_optimizer(config)
-    # jit: one device program instead of one dispatch per zeros_like leaf
-    opt_state = jax.jit(tx.init)(params)
+
+    # The optimizer runs over ONE flat fp32 vector, not the param tree:
+    # clip/adam/schedule over ~400 small leaves costs hundreds of tiny
+    # kernels (~10ms/step measured on v5e); over a single 30M-float vector
+    # it is 3 fused kernels.  Flatten/unflatten are cheap HBM copies.
+    @jax.jit
+    def init_opt(params):
+        flat, _ = jax.flatten_util.ravel_pytree(params)
+        return tx.init(flat)
+
+    opt_state = init_opt(params)
     return TrainState(params, opt_state, jnp.asarray(global_step, jnp.int32))
 
 
@@ -103,9 +113,12 @@ def make_train_step(
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, batch, rng
         )
-        metrics["grad_norm"] = optax.global_norm(grads)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
+        # flat-vector optimizer: see create_state
+        flat_grads, _ = jax.flatten_util.ravel_pytree(grads)
+        flat_params, unravel = jax.flatten_util.ravel_pytree(state.params)
+        metrics["grad_norm"] = jnp.sqrt(jnp.sum(jnp.square(flat_grads)))
+        updates, opt_state = tx.update(flat_grads, state.opt_state, flat_params)
+        params = unravel(flat_params + updates)
         return TrainState(params, opt_state, state.step + 1), metrics
 
     if mesh is None:
