@@ -129,6 +129,10 @@ class TrainingConfig:
     bucket_size_mel: int = 128
     # Data-parallel mesh axis name.
     mesh_axis: str = "data"
+    # Iterate encoder layers / flow blocks as an unrolled Python loop (True)
+    # or a lax.scan (False).  Interleaved A/B on v5e: unroll is ~5% faster
+    # but compiles 3.5x slower; scan is the default.
+    unroll_blocks: bool = False
 
     def to_dict(self) -> dict:
         d = dataclasses.asdict(self)

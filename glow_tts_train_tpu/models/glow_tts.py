@@ -77,6 +77,7 @@ class GlowTTSHyper(typing.NamedTuple):
     hidden_channels_enc: typing.Optional[int] = None
     hidden_channels_dec: typing.Optional[int] = None
     prenet: bool = False
+    unroll: bool = False
 
     @property
     def h_enc(self) -> int:
@@ -100,6 +101,7 @@ class GlowTTSHyper(typing.NamedTuple):
             n_sqz=self.n_sqz,
             sigmoid_scale=self.sigmoid_scale,
             gin_channels=self.gin_channels,
+            unroll=self.unroll,
         )
 
 
@@ -132,6 +134,7 @@ def hyper_from_config(config: TrainingConfig) -> GlowTTSHyper:
         hidden_channels_enc=m.hidden_channels_enc,
         hidden_channels_dec=m.hidden_channels_dec,
         prenet=m.prenet,
+        unroll=config.unroll_blocks,
     )
 
 
@@ -266,6 +269,7 @@ def encoder_forward(
         p_dropout=hp.p_dropout,
         rng=r_enc,
         deterministic=deterministic,
+        unroll=hp.unroll,
     )
 
     # duration predictor sees detached encoder output (+ non-detached speaker

@@ -276,8 +276,12 @@ def encoder_apply(
     p_dropout: float = 0.0,
     rng: typing.Optional[jax.Array] = None,
     deterministic: bool = True,
+    unroll: bool = False,
 ) -> jnp.ndarray:
-    """x: [b, t, c]; x_mask: [b, t, 1]."""
+    """x: [b, t, c]; x_mask: [b, t, 1].
+
+    ``unroll``: python-loop the layers instead of lax.scan (~5% faster on
+    v5e, 3.5x slower compile — see flows.DecoderHyper.unroll)."""
     attn_mask = (x_mask[:, :, 0][:, None, :] * x_mask[:, :, 0][:, :, None])
     use_rng = rng if rng is not None else jax.random.PRNGKey(0)
 
@@ -314,7 +318,15 @@ def encoder_apply(
         x = layer_norm(x + y, layer_params["norm_2"])
         return (x, i + 1), None
 
-    (x, _), _ = jax.lax.scan(layer, (x, jnp.int32(0)), params)
+    carry = (x, jnp.int32(0))
+    if unroll:
+        n_layers = jax.tree_util.tree_leaves(params)[0].shape[0]
+        for i in range(n_layers):
+            lp = jax.tree_util.tree_map(lambda a: a[i], params)
+            carry, _ = layer(carry, lp)
+        x = carry[0]
+    else:
+        (x, _), _ = jax.lax.scan(layer, carry, params)
     return x * x_mask
 
 
@@ -369,6 +381,11 @@ def prenet_apply(
         x = dropout(lrng, x, p_dropout, deterministic)
         return (x, i + 1), None
 
-    (x, _), _ = jax.lax.scan(layer, (x, jnp.int32(0)), params["layers"])
+    carry = (x, jnp.int32(0))
+    n_layers = jax.tree_util.tree_leaves(params["layers"])[0].shape[0]
+    for i in range(n_layers):
+        lp = jax.tree_util.tree_map(lambda a: a[i], params["layers"])
+        carry, _ = layer(carry, lp)
+    x = carry[0]
     x = x_org + conv1d(x, params["proj"])
     return x * x_mask

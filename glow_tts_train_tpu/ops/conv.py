@@ -21,7 +21,16 @@ import typing
 
 import jax
 import jax.numpy as jnp
-from jax import lax
+
+# "xla" (conv_general_dilated) or "shifted" (sum of shifted matmuls);
+# benchmark-selected default, overridable for experiments.
+_CONV_IMPL = "xla"
+
+
+def set_conv_impl(impl: str) -> None:
+    global _CONV_IMPL
+    assert impl in ("xla", "shifted"), impl
+    _CONV_IMPL = impl
 
 
 def torch_conv_init(
@@ -108,6 +117,11 @@ def conv1d(
 
     ``padding=None`` means torch-style symmetric "same" padding
     ``(k*d - d)//2`` (the reference uses this everywhere).
+
+    Implementation selectable via ``set_conv_impl`` ("xla" = NHC
+    conv_general_dilated, "shifted" = sum of k time-shifted MXU matmuls) —
+    the two differ only in fp summation order; the faster one varies by
+    backend/shape and is picked empirically.
     """
     if "v" in params:
         w = weight_norm_effective(params)
@@ -117,8 +131,27 @@ def conv1d(
     if padding is None:
         padding = (k * dilation - dilation) // 2
     w = w.astype(x.dtype)
-    b = params["b"].astype(x.dtype)
-    out = lax.conv_general_dilated(
+    t = x.shape[1]
+
+    if k == 1:
+        # output stays in the compute dtype — fp32 intermediates here would
+        # balloon HBM traffic (MXU still accumulates fp32 internally)
+        out = jnp.einsum("btc,co->bto", x, w[0])
+        return out + params["b"].astype(x.dtype)[None, None, :]
+
+    if _CONV_IMPL == "shifted":
+        xp = jnp.pad(x, ((0, 0), (padding, padding), (0, 0)))
+        out = None
+        for tap in range(k):
+            start = tap * dilation
+            sl = xp[:, start : start + t]
+            if sl.shape[1] < t:  # asymmetric edge (even k): zero-pad tail
+                sl = jnp.pad(sl, ((0, 0), (0, t - sl.shape[1]), (0, 0)))
+            y = jnp.einsum("btc,co->bto", sl, w[tap])
+            out = y if out is None else out + y
+        return out + params["b"].astype(x.dtype)[None, None, :]
+
+    out = jax.lax.conv_general_dilated(
         x,
         w,
         window_strides=(1,),
@@ -126,4 +159,4 @@ def conv1d(
         rhs_dilation=(dilation,),
         dimension_numbers=("NHC", "HIO", "NHC"),
     )
-    return out + b[None, None, :]
+    return out + params["b"].astype(x.dtype)[None, None, :]

@@ -334,7 +334,13 @@ def coupling_apply(
 
 
 class DecoderHyper(typing.NamedTuple):
-    """Static hyperparameters of the flow decoder."""
+    """Static hyperparameters of the flow decoder.
+
+    ``unroll``: iterate the blocks as a Python loop (statically indexed
+    stacked params) instead of lax.scan.  Interleaved A/B on v5e measured
+    unroll ~5% faster per step at ~3.5x the compile time, so scan is the
+    default; flip for long production runs where compile amortizes.
+    """
 
     in_channels: int
     hidden_channels: int
@@ -347,6 +353,7 @@ class DecoderHyper(typing.NamedTuple):
     n_sqz: int = 2
     sigmoid_scale: bool = False
     gin_channels: int = 0
+    unroll: bool = False
 
 
 def decoder_init(rng: jax.Array, hp: DecoderHyper) -> Params:
@@ -407,9 +414,14 @@ def decoder_fwd(
         return (x, logdet_tot + ld1 + ld2 + ld3, i + 1), None
 
     b = x.shape[0]
-    (x, logdet_tot, _), _ = jax.lax.scan(
-        block, (x, jnp.zeros((b,), jnp.float32), jnp.int32(0)), params["blocks"]
-    )
+    carry = (x, jnp.zeros((b,), jnp.float32), jnp.int32(0))
+    if hp.unroll:
+        for i in range(hp.n_blocks):
+            bp = jax.tree_util.tree_map(lambda a: a[i], params["blocks"])
+            carry, _ = block(carry, bp)
+        x, logdet_tot, _ = carry
+    else:
+        (x, logdet_tot, _), _ = jax.lax.scan(block, carry, params["blocks"])
     if hp.n_sqz > 1:
         x, x_mask = unsqueeze(x, x_mask, hp.n_sqz)
     return x, logdet_tot
@@ -425,8 +437,6 @@ def decoder_inv(
     """Inverse (z -> mel): blocks in reverse order, each bijector inverted."""
     if hp.n_sqz > 1:
         x, x_mask = squeeze(x, x_mask, hp.n_sqz)
-
-    rev_blocks = jax.tree_util.tree_map(lambda a: a[::-1], params["blocks"])
 
     def block(x, block_params):
         x, _ = coupling_apply(
@@ -445,7 +455,13 @@ def decoder_inv(
         x = actnorm_inv(block_params["actnorm"], x, x_mask)
         return x, None
 
-    x, _ = jax.lax.scan(block, x, rev_blocks)
+    if hp.unroll:
+        for i in reversed(range(hp.n_blocks)):
+            bp = jax.tree_util.tree_map(lambda a: a[i], params["blocks"])
+            x, _ = block(x, bp)
+    else:
+        rev_blocks = jax.tree_util.tree_map(lambda a: a[::-1], params["blocks"])
+        x, _ = jax.lax.scan(block, x, rev_blocks)
     if hp.n_sqz > 1:
         x, x_mask = unsqueeze(x, x_mask, hp.n_sqz)
     return x, None
