@@ -141,6 +141,25 @@ def main():
     if args.config:
         args.config = [Path(p) for p in args.config]
     args.checkpoint = Path(args.checkpoint)
+
+    # Export-directory input: run the serialized artifact instead (the
+    # reference's --jit TorchScript path, infer.py:88-100)
+    from .export import ARTIFACT_NAME
+
+    if args.checkpoint.is_dir() and (args.checkpoint / ARTIFACT_NAME).exists():
+        from . import infer_export
+
+        argv = [str(args.checkpoint)]
+        if args.numpy_dir:
+            argv += ["--numpy-dir", str(args.numpy_dir)]
+        if args.csv:
+            argv += ["--csv"]
+        argv += ["--noise-scale", str(args.noise_scale)]
+        argv += ["--length-scale", str(args.length_scale)]
+        if args.debug:
+            argv += ["--debug"]
+        sys.argv = ["glow-tts-infer-export-tpu"] + argv
+        return infer_export.main()
     if args.numpy_dir:
         args.numpy_dir = Path(args.numpy_dir)
         args.numpy_dir.mkdir(parents=True, exist_ok=True)

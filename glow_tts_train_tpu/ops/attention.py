@@ -91,6 +91,7 @@ def mha_init(
     n_heads: int,
     window_size: typing.Optional[int],
     heads_share: bool = True,
+    proximal_init: bool = False,
 ) -> Params:
     k_ch = channels // n_heads
     keys = jax.random.split(rng, 6)
@@ -100,6 +101,9 @@ def mha_init(
         "v": xavier_uniform_conv_init(keys[2], 1, channels, channels),
         "o": torch_conv_init(keys[3], 1, channels, out_channels),
     }
+    if proximal_init:
+        # k starts as a copy of q (attentions.py:194-201)
+        params["k"] = {"w": params["q"]["w"], "b": params["q"]["b"]}
     if window_size is not None:
         n_heads_rel = 1 if heads_share else n_heads
         rel_stddev = k_ch ** -0.5

@@ -144,7 +144,8 @@ def _invconv_ungroup(z: jnp.ndarray, c: int, n_split: int) -> jnp.ndarray:
     return z.reshape(b, t, c)
 
 
-def invconv_apply(params: Params, x, x_mask, reverse: bool = False):
+def invconv_apply(params: Params, x, x_mask, reverse: bool = False,
+                  no_jacobian: bool = False):
     b, t, c = x.shape
     w = params["weight"]
     s = w.shape[0]
@@ -158,8 +159,11 @@ def invconv_apply(params: Params, x, x_mask, reverse: bool = False):
         logdet = None
     else:
         weight = w
-        sign, logabsdet = jnp.linalg.slogdet(w.astype(jnp.float32))
-        logdet = logabsdet * (c / s) * x_len  # [b]
+        if no_jacobian:  # layers.py:262-263
+            logdet = jnp.zeros_like(x_len)
+        else:
+            sign, logabsdet = jnp.linalg.slogdet(w.astype(jnp.float32))
+            logdet = logabsdet * (c / s) * x_len  # [b]
 
     xg = _invconv_regroup(x, s)
     # z[o, q] = sum_i W[o, i] x[i, q] — a tiny s×s mix over the group dim.
