@@ -19,6 +19,7 @@ tests/test_mas.py.
 """
 
 import functools
+import typing
 
 import jax
 import jax.numpy as jnp
@@ -74,14 +75,20 @@ def _kernel(logp_ref, txl_ref, tyl_ref, path_ref, v_ref, dir_ref):
     jax.lax.fori_loop(0, t_y, bwd, index0)
 
 
-def _pick_chunk(b: int, t_x: int, t_y: int) -> int:
-    # logp block f32 + direction block (bool ~ 1 byte, assume 4 to be safe)
-    per_sample = t_y * t_x * (4 + 4)
-    chunk = max(1, _VMEM_BUDGET // max(per_sample, 1))
-    chunk = min(chunk, b, 8)
-    while b % chunk != 0:
-        chunk -= 1
-    return max(chunk, 1)
+def _pick_chunk(b: int, t_x: int, t_y: int) -> typing.Optional[int]:
+    """Pick a batch-chunk size, or None if no valid tiling fits VMEM.
+
+    Mosaic requires the sublane (chunk) dim to be a multiple of 8 or equal
+    to the full batch; logp + direction blocks must fit the VMEM budget.
+    """
+    per_sample = t_y * t_x * (4 + 4)  # logp f32 + direction i32
+    budget_chunk = _VMEM_BUDGET // max(per_sample, 1)
+    if budget_chunk >= b:
+        return b  # whole batch in one block (always legal)
+    chunk = min(budget_chunk, 8)
+    if chunk >= 8 and b % 8 == 0:
+        return 8
+    return None
 
 
 def maximum_path_pallas(
@@ -94,8 +101,16 @@ def maximum_path_pallas(
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    dtype = logp.dtype
+
     b, t_x, t_y = logp.shape
+    chunk = _pick_chunk(b, t_x, t_y)
+    if chunk is None:
+        # no legal VMEM tiling (huge t_x*t_y or awkward batch) — the scan
+        # implementation handles any shape
+        from .mas import _maximum_path_scan
+
+        return _maximum_path_scan(logp, mask)
+    dtype = logp.dtype
     maskf = mask.astype(jnp.float32)
     value = logp.astype(jnp.float32) * maskf
     t_x_len = jnp.sum(mask[:, :, 0], axis=1).astype(jnp.int32)[:, None]  # [b,1]
@@ -105,7 +120,6 @@ def maximum_path_pallas(
     # column), t_x on lanes
     value_t = value.transpose(2, 0, 1)
 
-    chunk = _pick_chunk(b, t_x, t_y)
     grid = (b // chunk,)
 
     path_t = pl.pallas_call(
