@@ -82,6 +82,14 @@ def main():
         help="Append per-epoch metrics as JSON lines to this file",
     )
     parser.add_argument(
+        "--coordinator",
+        help="Multi-host: coordinator address host:port for "
+        "jax.distributed.initialize (also needs --num-processes/--process-id "
+        "unless provided by the TPU environment)",
+    )
+    parser.add_argument("--num-processes", type=int)
+    parser.add_argument("--process-id", type=int)
+    parser.add_argument(
         "--debug", action="store_true", help="Print DEBUG messages to the console"
     )
     args = parser.parse_args()
@@ -91,6 +99,16 @@ def main():
 
     # Heavy imports after arg parsing so --help is fast
     import jax
+
+    # Multi-host rendezvous: the GSPMD replacement for the reference's
+    # torch.distributed.launch + NCCL process group (__main__.py:83-88).
+    # On Cloud TPU pods jax.distributed.initialize() autodetects everything.
+    if args.coordinator:
+        jax.distributed.initialize(
+            coordinator_address=args.coordinator,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
 
     from .checkpoint import load_checkpoint
     from .config import TrainingConfig
