@@ -65,13 +65,14 @@ def bench_train(config, rpc_base, b=32, t_x=128, t_y=640, iters=10, mas_impl="sc
         _, losses = jax.lax.scan(body, state, jnp.arange(iters))
         return losses
 
+    rng = jax.random.key(1, impl=config.prng_impl)
     _log("bench_train: compiling...")
-    losses = run_steps(state, batch, jax.random.PRNGKey(1))
+    losses = run_steps(state, batch, rng)
     loss = float(losses[-1])
     assert np.isfinite(loss), loss
     _log("bench_train: timing...")
     start = time.perf_counter()
-    losses = run_steps(state, batch, jax.random.PRNGKey(1))
+    losses = run_steps(state, batch, rng)
     float(losses[-1])
     elapsed = time.perf_counter() - start - rpc_base
 

@@ -133,6 +133,10 @@ class TrainingConfig:
     # or a lax.scan (False).  Interleaved A/B on v5e: unroll is ~5% faster
     # but compiles 3.5x slower; scan is the default.
     unroll_blocks: bool = False
+    # PRNG implementation for dropout/noise during training. "rbg" uses the
+    # TPU hardware generator (~15% faster train step than threefry on v5e);
+    # "threefry2x32" gives bit-identical streams across shardings/backends.
+    prng_impl: str = "rbg"
 
     def to_dict(self) -> dict:
         d = dataclasses.asdict(self)

@@ -336,3 +336,40 @@ def test_base_dims_parity(reference_models):
         L = int(np.asarray(y_lengths_j)[i])
         err = np.abs(y_j[i, :, :L] - y_t.numpy()[i, :, :L]).max()
         assert err < 1e-3, f"sample {i}: max mel abs err {err}"
+
+
+def test_mean_only_false_parity(reference_models):
+    """proj_s log-scale head active (mean_only=False): z/logdet/attn parity."""
+    config = tiny_config(mean_only=False)
+    ref, params = build_pair(reference_models, config, seed=7)
+    assert "proj_s" in params
+    x, x_lengths, y, y_lengths = make_inputs(config, seed=8)
+
+    with torch.no_grad():
+        ((z_t, z_m_t, z_logs_t, logdet_t, _), (x_m_t, x_logs_t, _),
+         (attn_t, _, _)) = ref(
+            torch.from_numpy(x), torch.from_numpy(x_lengths),
+            torch.from_numpy(y), torch.from_numpy(y_lengths),
+        )
+    assert float(x_logs_t.abs().max()) > 0  # head is live
+
+    hp = hyper_from_config(config)
+    ((z_j, z_m_j, z_logs_j, logdet_j, _), (x_m_j, x_logs_j, _),
+     (attn_j, _, _)) = forward_train(
+        params, hp,
+        jnp.asarray(x, jnp.int32), jnp.asarray(x_lengths, jnp.int32),
+        jnp.asarray(y.transpose(0, 2, 1)), jnp.asarray(y_lengths, jnp.int32),
+        deterministic=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(x_logs_j), x_logs_t.numpy().transpose(0, 2, 1),
+        atol=2e-5, rtol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(z_logs_j), z_logs_t.numpy().transpose(0, 2, 1),
+        atol=5e-5, rtol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(logdet_j), logdet_t.numpy(), atol=1e-3, rtol=1e-5
+    )
+    np.testing.assert_array_equal(np.asarray(attn_j), attn_t.numpy()[:, 0])
