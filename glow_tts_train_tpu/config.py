@@ -133,6 +133,9 @@ class TrainingConfig:
     # or a lax.scan (False).  Interleaved A/B on v5e: unroll is ~5% faster
     # but compiles 3.5x slower; scan is the default.
     unroll_blocks: bool = False
+    # Rematerialize flow-block activations in backward (jax.checkpoint):
+    # ~9% faster step on v5e (recompute beats storing residuals).
+    remat_blocks: bool = True
     # PRNG implementation for dropout/noise during training. "rbg" uses the
     # TPU hardware generator (~15% faster train step than threefry on v5e);
     # "threefry2x32" gives bit-identical streams across shardings/backends.

@@ -78,6 +78,7 @@ class GlowTTSHyper(typing.NamedTuple):
     hidden_channels_dec: typing.Optional[int] = None
     prenet: bool = False
     unroll: bool = False
+    remat: bool = True
 
     @property
     def h_enc(self) -> int:
@@ -102,6 +103,7 @@ class GlowTTSHyper(typing.NamedTuple):
             sigmoid_scale=self.sigmoid_scale,
             gin_channels=self.gin_channels,
             unroll=self.unroll,
+            remat=self.remat,
         )
 
 
@@ -135,6 +137,7 @@ def hyper_from_config(config: TrainingConfig) -> GlowTTSHyper:
         hidden_channels_dec=m.hidden_channels_dec,
         prenet=m.prenet,
         unroll=config.unroll_blocks,
+        remat=config.remat_blocks,
     )
 
 
