@@ -231,10 +231,22 @@ def main():
         )
         _LOGGER.info("Mesh: %s devices on axis %r", n_dev, config.mesh_axis)
 
+    # batch_size is the GLOBAL batch; each host loads its share and the
+    # global array is assembled across processes (parallel/mesh.py)
+    assert batch_size % jax.process_count() == 0, (
+        f"batch_size {batch_size} must divide evenly over "
+        f"{jax.process_count()} host processes"
+    )
+    if jax.process_count() > 1 and config.max_seq_length is None:
+        _LOGGER.warning(
+            "multi-host runs need identical padded shapes on every host each "
+            "step: set max_seq_length and bucket sizes that cover it (one "
+            "bucket), or hosts may disagree on shapes and hang"
+        )
     pipeline = DataPipeline(
         dataset,
         config,
-        batch_size=batch_size,
+        batch_size=batch_size // jax.process_count(),
         num_shards=jax.process_count(),
         shard_index=jax.process_index(),
     )

@@ -96,8 +96,20 @@ def _merge_into(fresh: Params, saved: typing.Dict[str, np.ndarray]) -> Params:
     def visit(path, leaf):
         key = "model/" + "/".join(_path_elem(p) for p in path)
         if key in saved:
+            fresh = np.asarray(leaf)
+            if saved[key].shape != fresh.shape:
+                # silent shape mismatches would alias embeddings / crash far
+                # from the cause — keep the fresh-init value instead
+                _LOGGER.warning(
+                    "checkpoint key %s has shape %s but the model expects %s; "
+                    "keeping fresh-init values",
+                    key,
+                    saved[key].shape,
+                    fresh.shape,
+                )
+                return leaf
             used.add(key)
-            return saved[key].astype(np.asarray(leaf).dtype)
+            return saved[key].astype(fresh.dtype)
         _LOGGER.warning("%s is not in the checkpoint", key)
         return leaf
 

@@ -99,6 +99,7 @@ class PhonemeMelDataset:
         self.id_mels = dict(id_mels)
         self.mel_dirs = mel_dirs or {}
         self.multispeaker = multispeaker
+        self._mel_lengths: typing.Dict[UttKey, int] = {}
 
         if id_mels:
             self.ids = sorted(
@@ -127,12 +128,31 @@ class PhonemeMelDataset:
         return text, mel, speaker_idx
 
     def mel_length(self, utt_key: UttKey) -> int:
-        """Mel frame count without forcing a full load when cached."""
+        """Mel frame count WITHOUT loading the mel data.
+
+        For .npy-backed utterances only the npy header is read (the
+        length-bucketing sort calls this for every utterance; loading full
+        arrays here would pull the whole corpus into RAM before step 1).
+        """
+        cached = self._mel_lengths.get(utt_key)
+        if cached is not None:
+            return cached
         mel = self.id_mels.get(utt_key)
         if mel is not None:
-            return mel.shape[1]
-        text, mel, _ = self.get(utt_key)
-        return mel.shape[1]
+            length = int(mel.shape[1])
+        else:
+            speaker_idx, utt_id = utt_key
+            mels_dir = self.mel_dirs.get(speaker_idx)
+            assert mels_dir, f"Missing mel for id {utt_id}, but no mels_dir"
+            with open(Path(mels_dir) / (utt_id + ".npy"), "rb") as f:
+                version = np.lib.format.read_magic(f)
+                if version == (1, 0):
+                    shape, _, _ = np.lib.format.read_array_header_1_0(f)
+                else:
+                    shape, _, _ = np.lib.format.read_array_header_2_0(f)
+            length = int(shape[1])
+        self._mel_lengths[utt_key] = length
+        return length
 
 
 def _round_up(n: int, multiple: int) -> int:
@@ -223,8 +243,12 @@ class DataPipeline:
         self.epoch += 1
         ids = list(self.dataset.ids)
         rng.shuffle(ids)
-        # per-host shard (DistributedSampler equivalent)
-        ids = ids[self.shard_index :: self.num_shards]
+        # per-host shard (DistributedSampler equivalent).  Truncate to a
+        # multiple of num_shards FIRST so every host sees the same number of
+        # utterances (and therefore the same number of batches) — uneven
+        # shards would deadlock the pod in the gradient all-reduce.
+        usable = (len(ids) // self.num_shards) * self.num_shards
+        ids = ids[:usable][self.shard_index :: self.num_shards]
 
         if self.bucket_by_length:
             # sort by mel length, batch neighbors, shuffle batch order:

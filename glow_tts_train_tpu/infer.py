@@ -42,6 +42,11 @@ def build_synthesizer(
     hp = hyper_from_config(config)
     bucket_t = max(config.bucket_size_text, 1)
     bucket_y = max(config.bucket_size_mel, 1)
+    # upload weights once — numpy params as jit args would be re-transferred
+    # host->device on every call
+    params = jax.device_put(
+        jax.tree_util.tree_map(jnp.asarray, params)
+    )
 
     @partial(jax.jit, static_argnames=("length_scale_static",))
     def predict_frames(params, x, x_lengths, g_ids, length_scale_static):

@@ -42,8 +42,19 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: typing.Optional[Mesh], axis_name: str = "data"):
-    """Device-put a host batch (pytree of np arrays) with batch-dim sharding."""
+    """Device-put a host batch (pytree of np arrays) with batch-dim sharding.
+
+    Single-host: the batch is the global batch; device_put splits it across
+    local devices.  Multi-host: each process passes its LOCAL rows
+    (global_batch / process_count utterances) and the global array is
+    assembled across processes — the data-loading equivalent of
+    DistributedSampler shards feeding one global step.
+    """
     if mesh is None:
         return jax.device_put(batch)
     sharding = batch_sharding(mesh, axis_name)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda a: jax.make_array_from_process_local_data(sharding, a), batch
+        )
     return jax.tree_util.tree_map(lambda a: jax.device_put(a, sharding), batch)

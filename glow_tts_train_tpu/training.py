@@ -192,11 +192,14 @@ def train(
     profiling = False
     steps_done = 0
 
+    # host-side step counter: int(state.step) would block on the in-flight
+    # device step every iteration, serializing dispatch against data prep
+    step = int(state.step)
+
     for epoch in range(1, config.epochs + 1):
         epoch_start = time.perf_counter()
         epoch_metrics = []
         for batch in batches():
-            step = int(state.step)
             if profile_dir is not None and steps_done == 5 and not profiling:
                 jax.profiler.start_trace(str(profile_dir))
                 profiling = True
@@ -205,6 +208,7 @@ def train(
             with jax.profiler.StepTraceAnnotation("train_step", step_num=step):
                 state, metrics = step_fn(state, sharded, rng)
             epoch_metrics.append(metrics)
+            step += 1
             steps_done += 1
             if profiling and steps_done >= 15:
                 jax.block_until_ready(metrics)

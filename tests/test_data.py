@@ -116,3 +116,33 @@ def test_lazy_npy_loading(tmp_path):
     text, loaded, speaker = dataset.get((0, "uttx"))
     np.testing.assert_allclose(loaded, mel)
     assert (0, "uttx") in dataset.id_mels  # cached
+
+
+def test_mel_length_reads_npy_header_without_loading(tmp_path):
+    """Length-bucketing must not pull the corpus into RAM (npy header read)."""
+    rng = np.random.default_rng(5)
+    mel = rng.standard_normal((4, 23)).astype(np.float32)
+    np.save(tmp_path / "utth.npy", mel)
+    from glow_tts_train_tpu.data.dataset import PhonemeMelDataset
+
+    ds = PhonemeMelDataset(
+        {(0, "utth"): np.asarray([1, 2], np.int32)}, {}, mel_dirs={0: tmp_path}
+    )
+    assert ds.mel_length((0, "utth")) == 23
+    assert (0, "utth") not in ds.id_mels  # data NOT loaded
+    assert ds.mel_length((0, "utth")) == 23  # cached length path
+
+
+def test_sharding_equal_batch_counts():
+    """Every host must see the same number of batches (pod deadlock guard)."""
+    from glow_tts_train_tpu.data import DataPipeline
+
+    dataset = make_dataset(127 % 100 + 27)  # 54 utterances
+    config = TrainingConfig(batch_size=8, bucket_size_text=4, bucket_size_mel=8)
+    counts = []
+    for shard in range(4):
+        p = DataPipeline(
+            dataset, config, num_shards=4, shard_index=shard, drop_last=True
+        )
+        counts.append(sum(1 for _ in p.batches()))
+    assert len(set(counts)) == 1, counts
