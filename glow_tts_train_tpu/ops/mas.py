@@ -44,10 +44,13 @@ def maximum_path(
     returns: [b, t_x, t_y] 0/1 path, dtype of logp
 
     API parity with reference monotonic_align/__init__.py:6-21 — but no host
-    round-trip: everything stays on device and is jit/grad-safe (the result
-    should be wrapped in stop_gradient by the caller, as the reference
-    detaches it).
+    round-trip: everything stays on device.  MAS is non-differentiable by
+    construction (the reference runs it under no_grad and detaches the path,
+    models.py:362-382), so gradients are stopped at the inputs here — this
+    also keeps autodiff from trying to JVP through the Pallas kernel.
     """
+    logp = jax.lax.stop_gradient(logp)
+    mask = jax.lax.stop_gradient(mask)
     if impl == "scan":
         return _maximum_path_scan(logp, mask)
     if impl == "pallas":
