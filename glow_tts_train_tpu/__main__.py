@@ -115,7 +115,7 @@ def main():
     from .data import DataPipeline, PhonemeMelDataset, load_mels, load_phonemes
     from .optimize import make_optimizer
     from .parallel import default_mesh
-    from .training import TrainState, create_state, initialize_model, train
+    from .training import TrainState, initialize_model, train
 
     args.output = Path(args.output)
     args.dataset = [
@@ -272,10 +272,16 @@ def main():
         )
     else:
         _LOGGER.info("Doing data-dependent initialization...")
+        import jax.flatten_util
+        import jax.numpy as jnp
+
         first_batch = next(iter(pipeline.batches()))
         params = initialize_model(config, first_batch, mesh=mesh)
-        state = create_state(config, jax.random.PRNGKey(config.seed))
-        state = TrainState(params, state.opt_state, state.step)
+        tx = make_optimizer(config)
+        opt_state = jax.jit(
+            lambda p: tx.init(jax.flatten_util.ravel_pytree(p)[0])
+        )(params)
+        state = TrainState(params, opt_state, jnp.asarray(1, jnp.int32))
 
     _LOGGER.info("Training started (batch size=%s)", batch_size)
     try:

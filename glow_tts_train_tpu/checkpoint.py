@@ -128,9 +128,18 @@ def load_checkpoint(
     """Load a .npz checkpoint, building fresh params for any missing keys."""
     checkpoint_path = Path(checkpoint_path)
     if checkpoint_path.suffix == ".pth":
-        params = import_torch_checkpoint_params(checkpoint_path, config)
-        meta = import_torch_checkpoint_meta(checkpoint_path)
-        return Checkpoint(params=params, opt_state=None, **meta)
+        import torch
+
+        ckpt = torch.load(checkpoint_path, map_location="cpu", weights_only=False)
+        sd = ckpt["model"] if "model" in ckpt else ckpt
+        params = import_torch_state_dict(sd, config)
+        return Checkpoint(
+            params=params,
+            opt_state=None,
+            learning_rate=float(ckpt.get("learning_rate", 1.0)),
+            global_step=int(ckpt.get("global_step", 1)),
+            version=int(ckpt.get("version", 1)),
+        )
 
     with np.load(checkpoint_path, allow_pickle=False) as data:
         saved = {k: data[k] for k in data.files}
@@ -209,17 +218,6 @@ def _norm(sd, prefix: str) -> typing.Dict[str, np.ndarray]:
 
 def _stack(dicts: typing.List[dict]) -> dict:
     return jax.tree_util.tree_map(lambda *xs: np.stack(xs), *dicts)
-
-
-def import_torch_checkpoint_meta(path: Path) -> dict:
-    import torch
-
-    ckpt = torch.load(path, map_location="cpu", weights_only=False)
-    return {
-        "learning_rate": float(ckpt.get("learning_rate", 1.0)),
-        "global_step": int(ckpt.get("global_step", 1)),
-        "version": int(ckpt.get("version", 1)),
-    }
 
 
 def import_torch_state_dict(sd: dict, config: TrainingConfig) -> Params:
@@ -325,11 +323,3 @@ def import_torch_state_dict(sd: dict, config: TrainingConfig) -> Params:
         params["emb_g"] = _t(sd["emb_g.weight"])
 
     return params
-
-
-def import_torch_checkpoint_params(path: Path, config: TrainingConfig) -> Params:
-    import torch
-
-    ckpt = torch.load(path, map_location="cpu", weights_only=False)
-    sd = ckpt["model"] if "model" in ckpt else ckpt
-    return import_torch_state_dict(sd, config)

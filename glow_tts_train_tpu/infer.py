@@ -154,6 +154,18 @@ def main():
     if args.checkpoint.is_dir() and (args.checkpoint / ARTIFACT_NAME).exists():
         from . import infer_export
 
+        # exported graphs bake in the speaker/config and synthesize one
+        # utterance per call — reject options the artifact cannot honor
+        if args.speaker is not None:
+            parser.error(
+                "--speaker is baked into exported artifacts; re-export with "
+                "the desired speaker or run from a checkpoint"
+            )
+        if args.batch_size != 1:
+            _LOGGER.warning(
+                "--batch-size is ignored for exported artifacts "
+                "(one utterance per call)"
+            )
         argv = [str(args.checkpoint)]
         if args.numpy_dir:
             argv += ["--numpy-dir", str(args.numpy_dir)]

@@ -162,10 +162,16 @@ def mha_apply(
         rel_k = get_relative_embeddings(
             params["emb_rel_k"].astype(x.dtype), t_s, window_size
         )
-        # [b,h,l,d] x [hrel,m,d] -> [b,h,l,m]
-        rel_logits = jnp.einsum(
-            "bhld,nmd->bhlm", q, rel_k, preferred_element_type=jnp.float32
-        )
+        # rel_k: [1, m, d] (heads_share) or [h, m, d] (per-head); align the
+        # head axis — reducing over it would sum all heads' embeddings
+        if rel_k.shape[0] == 1:
+            rel_logits = jnp.einsum(
+                "bhld,md->bhlm", q, rel_k[0], preferred_element_type=jnp.float32
+            )
+        else:
+            rel_logits = jnp.einsum(
+                "bhld,hmd->bhlm", q, rel_k, preferred_element_type=jnp.float32
+            )
         scores = scores + relative_to_absolute(rel_logits) * scale
 
     if proximal_bias:
@@ -192,9 +198,16 @@ def mha_apply(
         rel_v = get_relative_embeddings(
             params["emb_rel_v"].astype(x.dtype), t_s, window_size
         )
-        out = out + jnp.einsum(
-            "bhlm,nmd->bhld", rel_weights, rel_v, preferred_element_type=jnp.float32
-        )
+        if rel_v.shape[0] == 1:
+            out = out + jnp.einsum(
+                "bhlm,md->bhld", rel_weights, rel_v[0],
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            out = out + jnp.einsum(
+                "bhlm,hmd->bhld", rel_weights, rel_v,
+                preferred_element_type=jnp.float32,
+            )
 
     out = out.astype(x.dtype).transpose(0, 2, 1, 3).reshape(b, t_t, ch)
     return conv1d(out, params["o"])

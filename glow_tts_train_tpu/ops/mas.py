@@ -103,6 +103,11 @@ def _maximum_path_scan(logp: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
         d = jnp.take_along_axis(
             dir_col.astype(jnp.int32), index[:, None], axis=1
         )[:, 0]
+        # explicit overrides, matching core.pyx:34 exactly: at index==0 never
+        # move down; at index==y always move down.  The recorded direction at
+        # those cells compares against the -1e9 out-of-band sentinel, which
+        # real Q values can undercut for extreme log-likelihoods.
+        d = jnp.where(index == 0, 1, jnp.where(index == y, 0, d))
         index_new = jnp.where(active, jnp.maximum(index + d - 1, 0), index)
         return index_new, path_col
 

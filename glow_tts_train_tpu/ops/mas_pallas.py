@@ -69,7 +69,12 @@ def _kernel(logp_ref, txl_ref, tyl_ref, path_ref, v_ref, dir_ref):
         onehot = jnp.where(lane == index, 1.0, 0.0)  # [chunk, t_x] f32
         path_ref[y, :, :] = active * onehot
         d = jnp.sum(onehot * dir_ref[y, :, :], axis=1, keepdims=True)
-        step = jnp.maximum(index + d.astype(jnp.int32) - 1, 0)
+        d = d.astype(jnp.int32)
+        # explicit index==0 (stay) / index==y (move) overrides — the stored
+        # direction at those cells compared against the -1e9 sentinel (see
+        # ops/mas.py bwd)
+        d = jnp.where(index == 0, 1, jnp.where(index == y, 0, d))
+        step = jnp.maximum(index + d - 1, 0)
         return jnp.where(y < tyl, step, index)
 
     jax.lax.fori_loop(0, t_y, bwd, index0)
@@ -81,7 +86,9 @@ def _pick_chunk(b: int, t_x: int, t_y: int) -> typing.Optional[int]:
     Mosaic requires the sublane (chunk) dim to be a multiple of 8 or equal
     to the full batch; logp + direction blocks must fit the VMEM budget.
     """
-    per_sample = t_y * t_x * (4 + 4)  # logp f32 + direction i32
+    # VMEM per sample: logp in-block (f32, double-buffered) + path out-block
+    # (f32, double-buffered) + direction scratch (i32, single)
+    per_sample = t_y * t_x * (2 * 4 + 2 * 4 + 4)
     budget_chunk = _VMEM_BUDGET // max(per_sample, 1)
     if budget_chunk >= b:
         return b  # whole batch in one block (always legal)

@@ -88,3 +88,21 @@ def test_pallas_kernel_matches_oracle(shape):
         mas.maximum_path(jnp.asarray(logp), jnp.asarray(mask), impl="pallas")
     )
     np.testing.assert_array_equal(got, expected)
+
+
+@pytest.mark.parametrize("impl", ["scan", "pallas"])
+def test_extreme_negative_logp(impl):
+    """Accumulated scores below the -1e9 out-of-band sentinel must not corrupt
+    the backtrace (the index==0 / index==y moves are explicit, like core.pyx)."""
+    rng = np.random.default_rng(3)
+    b, t_x, t_y = 3, 10, 24
+    logp = (rng.standard_normal((b, t_x, t_y)) - 2e8).astype(np.float32)
+    mask = np.ones((b, t_x, t_y), np.float32)
+    expected = mas.maximum_path_numpy(logp, mask)
+    got = np.asarray(mas.maximum_path(jnp.asarray(logp), jnp.asarray(mask), impl=impl))
+    np.testing.assert_array_equal(got, expected)
+    # structural validity regardless of oracle agreement
+    for i in range(b):
+        rows = got[i].argmax(0)
+        assert (np.diff(rows) >= 0).all() and (np.diff(rows) <= 1).all()
+        np.testing.assert_array_equal(got[i].sum(0), np.ones(t_y))
