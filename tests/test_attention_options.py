@@ -86,3 +86,25 @@ def test_sigmoid_scale_coupling_invertible():
     )
     np.testing.assert_allclose(np.asarray(x_rec), np.asarray(x), atol=1e-5)
     assert np.isfinite(np.asarray(logdet)).all()
+
+
+def test_heads_share_false_per_head_embeddings():
+    """Per-head rel-pos embeddings must align with heads, not sum over them."""
+    x, mask = make_xm()
+    attn_mask = mask[:, :, 0][:, None, :] * mask[:, :, 0][:, :, None]
+    params = attention.mha_init(
+        jax.random.PRNGKey(8), 8, 8, 2, window_size=4, heads_share=False
+    )
+    assert params["emb_rel_k"].shape[0] == 2
+    out = attention.mha_apply(params, x, x, attn_mask, n_heads=2, window_size=4)
+    assert np.isfinite(np.asarray(out)).all()
+
+    # making head-1's rel-k embedding huge must change the output (it would
+    # be washed into a head-sum under the old broken einsum too, so instead
+    # check per-head isolation: zeroing head-0's table changes the result
+    # differently than zeroing head-1's)
+    p0 = dict(params); p0["emb_rel_k"] = params["emb_rel_k"].at[0].set(0.0)
+    p1 = dict(params); p1["emb_rel_k"] = params["emb_rel_k"].at[1].set(0.0)
+    out0 = attention.mha_apply(p0, x, x, attn_mask, n_heads=2, window_size=4)
+    out1 = attention.mha_apply(p1, x, x, attn_mask, n_heads=2, window_size=4)
+    assert not np.allclose(np.asarray(out0), np.asarray(out1))
