@@ -63,8 +63,16 @@ def _path_elem(p) -> str:
 
 
 def save_checkpoint(checkpoint: Checkpoint, checkpoint_path: Path) -> None:
-    """Write a single-file .npz checkpoint."""
+    """Write a checkpoint.
+
+    ``.npz`` suffix → single portable file (default).  ``.orbax`` suffix →
+    an Orbax directory checkpoint: async-write, multi-host-safe, and stores
+    arrays per-shard — the format to use at pod scale (each process writes
+    its addressable shards instead of gathering to host 0).
+    """
     checkpoint_path = Path(checkpoint_path)
+    if checkpoint_path.suffix == ".orbax":
+        return _save_orbax(checkpoint, checkpoint_path)
     checkpoint_path.parent.mkdir(parents=True, exist_ok=True)
 
     arrays = _flatten(checkpoint.params, "model/")
@@ -120,13 +128,85 @@ def _merge_into(fresh: Params, saved: typing.Dict[str, np.ndarray]) -> Params:
     return merged
 
 
+def _save_orbax(checkpoint: Checkpoint, path: Path) -> None:
+    import orbax.checkpoint as ocp
+
+    tree = {
+        "model": checkpoint.params,
+        "meta": {
+            "global_step": np.asarray(checkpoint.global_step),
+            "learning_rate": np.asarray(checkpoint.learning_rate),
+            "version": np.asarray(checkpoint.version),
+        },
+    }
+    if checkpoint.opt_state is not None:
+        tree["opt"] = {
+            f"{i:04d}": leaf
+            for i, leaf in enumerate(
+                jax.tree_util.tree_leaves(checkpoint.opt_state)
+            )
+        }
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path.absolute(), tree, force=True)
+    ckptr.wait_until_finished()
+
+
+def _load_orbax(path: Path, config: TrainingConfig, load_optimizer: bool) -> Checkpoint:
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    tree = ckptr.restore(path.absolute())
+    saved = _flatten(tree["model"], "model/")
+
+    hp = hyper_from_config(config)
+    fresh = init_model(jax.random.PRNGKey(config.seed), hp)
+    params = _merge_into(fresh, saved)
+
+    opt_state = None
+    if load_optimizer:
+        tx = make_optimizer(config)
+        flat, _ = jax.flatten_util.ravel_pytree(
+            jax.tree_util.tree_map(jnp.asarray, params)
+        )
+        opt_state = tx.init(flat)
+        if "opt" in tree:
+            leaves, treedef = jax.tree_util.tree_flatten(opt_state)
+            saved_opt = [tree["opt"][k] for k in sorted(tree["opt"])]
+            if len(saved_opt) == len(leaves):
+                opt_state = jax.tree_util.tree_unflatten(
+                    treedef,
+                    [
+                        np.asarray(s).astype(np.asarray(l).dtype)
+                        if np.shape(l) == np.shape(s)
+                        else l
+                        for s, l in zip(saved_opt, leaves)
+                    ],
+                )
+            else:
+                _LOGGER.warning(
+                    "orbax optimizer state mismatch; using fresh optimizer state"
+                )
+
+    meta = tree["meta"]
+    return Checkpoint(
+        params=params,
+        opt_state=opt_state,
+        learning_rate=float(meta["learning_rate"]),
+        global_step=int(meta["global_step"]),
+        version=int(meta["version"]),
+    )
+
+
 def load_checkpoint(
     checkpoint_path: Path,
     config: TrainingConfig,
     load_optimizer: bool = True,
 ) -> Checkpoint:
-    """Load a .npz checkpoint, building fresh params for any missing keys."""
+    """Load a checkpoint: .npz (native), .orbax (directory), or .pth
+    (reference torch import); missing keys keep fresh-init values."""
     checkpoint_path = Path(checkpoint_path)
+    if checkpoint_path.suffix == ".orbax":
+        return _load_orbax(checkpoint_path, config, load_optimizer)
     if checkpoint_path.suffix == ".pth":
         import torch
 

@@ -136,6 +136,9 @@ class TrainingConfig:
     # Rematerialize flow-block activations in backward (jax.checkpoint):
     # ~9% faster step on v5e (recompute beats storing residuals).
     remat_blocks: bool = True
+    # Checkpoint artifact format: "npz" (single portable file) or "orbax"
+    # (directory; async, multi-host-safe, per-shard arrays — use at pod scale).
+    checkpoint_format: str = "npz"
     # PRNG implementation for dropout/noise during training. "rbg" uses the
     # TPU hardware generator (~15% faster train step than threefry on v5e);
     # "threefry2x32" gives bit-identical streams across shardings/backends.

@@ -248,7 +248,10 @@ def train(
 
         if (epoch % checkpoint_epochs) == 0 and is_chief:
             global_step = int(state.step)
-            checkpoint_path = Path(model_dir) / f"checkpoint_{global_step}.npz"
+            checkpoint_path = (
+                Path(model_dir)
+                / f"checkpoint_{global_step}.{config.checkpoint_format}"
+            )
             save_checkpoint(
                 Checkpoint(
                     params=state.params,

@@ -92,3 +92,30 @@ def test_resume_continues_training(tmp_path):
     state2, metrics = step_fn(state2, batch, jax.random.PRNGKey(10))
     assert np.isfinite(float(metrics["loss"]))
     assert int(state2.step) == 5
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    """.orbax directory checkpoints round-trip params, optimizer state, and
+    metadata (the pod-scale format)."""
+    import pytest
+
+    pytest.importorskip("orbax.checkpoint")
+    config = tiny_config()
+    state = training.create_state(config, jax.random.PRNGKey(0), global_step=13)
+    path = tmp_path / "checkpoint_13.orbax"
+    save_checkpoint(
+        Checkpoint(
+            params=state.params,
+            opt_state=state.opt_state,
+            learning_rate=0.005,
+            global_step=13,
+            version=1,
+        ),
+        path,
+    )
+    assert path.is_dir()
+    loaded = load_checkpoint(path, config)
+    assert loaded.global_step == 13
+    assert abs(loaded.learning_rate - 0.005) < 1e-9
+    _tree_equal(loaded.params, state.params)
+    _tree_equal(loaded.opt_state, state.opt_state)

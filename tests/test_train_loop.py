@@ -1,0 +1,70 @@
+"""Epoch-loop behavior: checkpoint cadence, config snapshots, metrics file,
+and resume-from-checkpoint through the public training API."""
+
+import json
+
+import numpy as np
+
+import jax
+
+from glow_tts_train_tpu import training
+from glow_tts_train_tpu.checkpoint import load_checkpoint
+from glow_tts_train_tpu.config import TrainingConfig
+
+from helpers import random_batch, tiny_config
+
+
+def test_train_loop_checkpoints_and_metrics(tmp_path):
+    config = tiny_config()
+    config.epochs = 4
+    config.warmup_steps = 10
+    rng = np.random.default_rng(0)
+    all_batches = [random_batch(config, rng) for _ in range(2)]
+
+    def batches():
+        return iter(all_batches)
+
+    state = training.create_state(config, jax.random.PRNGKey(0))
+    metrics_path = tmp_path / "metrics.jsonl"
+    state = training.train(
+        batches,
+        config,
+        tmp_path,
+        state,
+        checkpoint_epochs=2,  # only epochs 2 and 4 checkpoint
+        log_every=0,
+        metrics_path=metrics_path,
+    )
+
+    # 4 epochs x 2 batches = 8 steps; step counter started at 1
+    assert int(state.step) == 9
+
+    ckpts = sorted(p.name for p in tmp_path.glob("checkpoint_*.npz"))
+    assert ckpts == ["checkpoint_5.npz", "checkpoint_9.npz"]
+    configs = sorted(p.name for p in tmp_path.glob("config_*.json"))
+    assert configs == ["config_5.json", "config_9.json"]
+
+    # config snapshot is loadable and matches
+    with open(tmp_path / "config_9.json") as f:
+        snap = TrainingConfig.load(f)
+    assert snap.model.num_symbols == config.model.num_symbols
+
+    # metrics: one JSON line per epoch with the documented fields
+    lines = [json.loads(l) for l in metrics_path.read_text().splitlines()]
+    assert [m["epoch"] for m in lines] == [1, 2, 3, 4]
+    assert all(np.isfinite(m["avg_loss"]) for m in lines)
+    assert all(m["learning_rate"] > 0 for m in lines)
+
+    # resume from the mid-run checkpoint and keep training
+    ckpt = load_checkpoint(tmp_path / "checkpoint_5.npz", config)
+    assert ckpt.global_step == 5
+    resumed = training.TrainState(
+        ckpt.params, ckpt.opt_state, np.int32(ckpt.global_step)
+    )
+    config.epochs = 1
+    resumed = training.train(
+        batches, config, tmp_path / "resumed", resumed, checkpoint_epochs=1,
+        log_every=0,
+    )
+    assert int(resumed.step) == 7
+    assert (tmp_path / "resumed" / "checkpoint_7.npz").exists()
