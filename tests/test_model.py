@@ -178,3 +178,39 @@ def test_multispeaker_conditioning():
     batch = {k: jnp.asarray(v) for k, v in batch.items()}
     state, metrics = step_fn(state, batch, jax.random.PRNGKey(0))
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_dilated_wn_and_no_squeeze_config():
+    """dilation_rate>1 (per-layer WN dilations) and n_sqz=1 (no time folding)
+    both train and stay invertible."""
+    config = tiny_config(dilation_rate=2, n_sqz=1)
+    hp = hyper_from_config(config)
+    params = init_model(jax.random.PRNGKey(9), hp)
+    batch = random_batch(config, np.random.default_rng(9))
+
+    (z, _, _, logdet, z_mask), _, _ = forward_train(
+        params, hp,
+        jnp.asarray(batch["x"]), jnp.asarray(batch["x_lengths"]),
+        jnp.asarray(batch["y"]), jnp.asarray(batch["y_lengths"]),
+        deterministic=True,
+    )
+    assert np.isfinite(np.asarray(z)).all()
+    assert np.isfinite(np.asarray(logdet)).all()
+    # n_sqz=1: no frame truncation
+    assert z.shape[1] == batch["y"].shape[1]
+
+    # decoder roundtrip under this config
+    from glow_tts_train_tpu.ops import flows
+
+    x_rec, _ = flows.decoder_inv(params["decoder"], z, z_mask, hp.decoder)
+    y_masked = jnp.asarray(batch["y"]) * z_mask
+    np.testing.assert_allclose(
+        np.asarray(x_rec), np.asarray(y_masked), atol=2e-4
+    )
+
+    # one training step runs
+    state = training.create_state(config, jax.random.PRNGKey(0))
+    step_fn = training.make_train_step(config, donate=False)
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    _, metrics = step_fn(state, jb, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
