@@ -99,3 +99,65 @@ def test_graft_entry_compiles():
     fn, example_args = graft.entry()
     loss = jax.jit(fn)(*example_args)
     assert np.isfinite(float(loss))
+
+
+def test_tensor_parallel_matches_data_parallel():
+    """2-D mesh (data x model): sharding weights over a model axis is a pure
+    annotation change — loss and gradients match the replicated layout."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+    from glow_tts_train_tpu.models import (
+        duration_loss,
+        forward_train,
+        hyper_from_config,
+        init_model,
+        mle_loss,
+    )
+    from glow_tts_train_tpu.parallel.partitioning import (
+        param_partition_specs,
+        shardable,
+    )
+
+    config = tiny_config()
+    hp = hyper_from_config(config)
+    params = init_model(jax.random.PRNGKey(0), hp)
+    batch = random_batch(config, np.random.default_rng(0), b=8)
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    rng = jax.random.PRNGKey(7)
+
+    def loss_fn(params, batch, rng):
+        (z, z_m, z_logs, logdet, z_mask), _, (_, logw, logw_) = forward_train(
+            params, hp, batch["x"], batch["x_lengths"], batch["y"],
+            batch["y_lengths"], rng=rng, deterministic=True,
+        )
+        return mle_loss(z, z_m, z_logs, logdet, z_mask) + duration_loss(
+            logw, logw_, batch["x_lengths"]
+        )
+
+    vg = jax.value_and_grad(loss_fn)
+    loss_ref, grads_ref = jax.jit(vg)(params, batch, rng)
+
+    mesh = Mesh(np.asarray(jax.devices()).reshape(2, 4), ("data", "model"))
+    specs = shardable(params, mesh, param_partition_specs(params))
+    param_sh = jax.tree_util.tree_map(
+        lambda s: NamedSharding(mesh, s), specs
+    )
+    data_sh = NamedSharding(mesh, PartitionSpec("data"))
+    repl = NamedSharding(mesh, PartitionSpec())
+
+    sharded_params = jax.tree_util.tree_map(jax.device_put, params, param_sh)
+    sharded_batch = jax.tree_util.tree_map(
+        lambda a: jax.device_put(a, data_sh), batch
+    )
+    loss_tp, grads_tp = jax.jit(
+        vg, in_shardings=(param_sh, data_sh, repl), out_shardings=(repl, param_sh)
+    )(sharded_params, sharded_batch, rng)
+
+    np.testing.assert_allclose(float(loss_ref), float(loss_tp), rtol=1e-5)
+    gmax = max(
+        float(jnp.max(jnp.abs(a))) for a in jax.tree_util.tree_leaves(grads_ref)
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(grads_ref), jax.tree_util.tree_leaves(grads_tp)
+    ):
+        assert float(jnp.max(jnp.abs(a - b))) <= 1e-5 * gmax
