@@ -214,3 +214,29 @@ def test_dilated_wn_and_no_squeeze_config():
     jb = {k: jnp.asarray(v) for k, v in batch.items()}
     _, metrics = step_fn(state, jb, jax.random.PRNGKey(0))
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_padding_bucket_invariance():
+    """The same utterance padded into different static buckets must produce
+    the same mel — masks make padding invisible end-to-end (the contract the
+    bucketed infer pipeline relies on)."""
+    config = tiny_config()
+    hp = hyper_from_config(config)
+    params = init_model(jax.random.PRNGKey(11), hp)
+    rng = np.random.default_rng(11)
+    ids = rng.integers(1, 20, size=7).astype(np.int32)
+
+    def gen(t_pad, y_max):
+        x = np.zeros((1, t_pad), np.int32)
+        x[0, :7] = ids
+        out = forward_gen(
+            params, hp, jnp.asarray(x), jnp.asarray([7], jnp.int32),
+            y_max_length=y_max, noise_rng=jax.random.PRNGKey(0), noise_scale=0.0,
+        )
+        y, y_lengths = out[0][0], out[3]
+        return np.asarray(y)[0, : int(y_lengths[0])]
+
+    mel_a = gen(t_pad=8, y_max=48)
+    mel_b = gen(t_pad=24, y_max=96)
+    assert mel_a.shape == mel_b.shape
+    np.testing.assert_allclose(mel_a, mel_b, atol=2e-4)
