@@ -81,13 +81,38 @@ def test_ddi_on_mesh_matches_host():
     )
 
 
-def test_graft_dryrun_multichip():
+def test_graft_dryrun_multichip_driver_invocation():
+    """Reproduce the driver's call exactly: a fresh subprocess with NO
+    test-harness platform forcing (conftest env stripped), running
+    ``dryrun_multichip(8)`` from the repo root.  Round 1 failed precisely
+    because the in-process test inherited conftest's CPU forcing and masked
+    a backend-init-order bug in the entry point."""
+    import os
+    import subprocess
     import sys
 
-    sys.path.insert(0, "/root/repo")
-    import __graft_entry__ as graft
-
-    graft.dryrun_multichip(8)
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env["XLA_FLAGS"] = " ".join(
+        f
+        for f in env.get("XLA_FLAGS", "").split()
+        if "xla_force_host_platform_device_count" not in f
+    )
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "from __graft_entry__ import dryrun_multichip; dryrun_multichip(8)",
+        ],
+        env=env,
+        cwd="/root/repo",
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "data-parallel OK" in proc.stdout, proc.stdout
+    assert "tensor-parallel" in proc.stdout, proc.stdout
 
 
 def test_graft_entry_compiles():
