@@ -112,7 +112,13 @@ def main():
 
     from .checkpoint import load_checkpoint
     from .config import TrainingConfig
-    from .data import DataPipeline, PhonemeMelDataset, load_mels, load_phonemes
+    from .data import (
+        DataPipeline,
+        MissingMelsError,
+        SpeakerSource,
+        build_dataset,
+        detect_num_symbols,
+    )
     from .optimize import make_optimizer
     from .parallel import default_mesh
     from .training import TrainState, initialize_model, train
@@ -152,72 +158,26 @@ def main():
             len(args.dataset),
         )
 
-    # ---- load datasets (reference __main__.py:144-220) ----
-    all_id_phonemes = {}
-    all_id_mels = {}
-    mel_dirs = {}
-
-    for dataset_idx, phonemes_path, mels_path in args.dataset:
-        _LOGGER.debug(
-            "Loading phonemes from %s (speaker=%s)", phonemes_path, dataset_idx
+    # corpus assembly lives in data/corpus.py; the CLI only maps flags
+    sources = [
+        SpeakerSource(idx, phonemes, mels) for idx, phonemes, mels in args.dataset
+    ]
+    try:
+        dataset = build_dataset(
+            sources,
+            config,
+            mels_are_dirs=args.mels_dir,
+            skip_missing_mels=args.skip_missing_mels,
+            multispeaker=(num_speakers > 1),
         )
-        with open(phonemes_path, "r") as phonemes_file:
-            id_phonemes = load_phonemes(phonemes_file, config)
-        _LOGGER.info(
-            "Loaded phonemes for %s utterances (speaker=%s)",
-            len(id_phonemes),
-            dataset_idx,
-        )
-
-        id_mels = {}
-        if args.mels_dir:
-            missing_ids = set()
-            for utt_id in id_phonemes:
-                if not (mels_path / (utt_id + ".npy")).is_file():
-                    missing_ids.add(utt_id)
-            if missing_ids:
-                if args.skip_missing_mels:
-                    for missing_id in missing_ids:
-                        id_phonemes.pop(missing_id, None)
-                    _LOGGER.warning(
-                        "Missing %s/%s .npy file(s) for utterances (speaker=%s)",
-                        len(missing_ids),
-                        len(id_phonemes) + len(missing_ids),
-                        dataset_idx,
-                    )
-                else:
-                    _LOGGER.fatal(
-                        "Missing .npy files for utterances: %s (speaker=%s)",
-                        sorted(missing_ids),
-                        dataset_idx,
-                    )
-                    sys.exit(1)
-            mel_dirs[dataset_idx] = mels_path
-        else:
-            with open(mels_path, "r") as mels_file:
-                id_mels = load_mels(mels_file)
-            _LOGGER.info(
-                "Loaded mels for %s utterances (speaker=%s)", len(id_mels), dataset_idx
-            )
-
-        for utt_id in id_phonemes:
-            all_id_phonemes[(dataset_idx, utt_id)] = id_phonemes[utt_id]
-        for utt_id in id_mels:
-            all_id_mels[(dataset_idx, utt_id)] = id_mels[utt_id]
+    except MissingMelsError as err:
+        _LOGGER.fatal("%s (re-run with --skip-missing-mels to train anyway)", err)
+        sys.exit(1)
 
     # num_symbols auto-detection (fixes reference __main__.py:123 NameError)
     if config.model.num_symbols < 1:
-        config.model.num_symbols = (
-            max(int(p_ids.max()) for p_ids in all_id_phonemes.values()) + 1
-        )
+        config.model.num_symbols = detect_num_symbols(dataset)
     assert config.model.num_symbols > 0, "No symbols"
-
-    dataset = PhonemeMelDataset(
-        id_phonemes=all_id_phonemes,
-        id_mels=all_id_mels,
-        mel_dirs=mel_dirs,
-        multispeaker=(num_speakers > 1),
-    )
 
     batch_size = config.batch_size if args.batch_size is None else args.batch_size
     if args.batch_size is not None:
@@ -232,17 +192,14 @@ def main():
         _LOGGER.info("Mesh: %s devices on axis %r", n_dev, config.mesh_axis)
 
     # batch_size is the GLOBAL batch; each host loads its share and the
-    # global array is assembled across processes (parallel/mesh.py)
+    # global array is assembled across processes (parallel/mesh.py).  The
+    # batch plan (shuffle, buckets, padded shapes) is computed globally and
+    # identically on every host (data/dataset.py DataPipeline), so per-step
+    # shapes agree across the pod by construction.
     assert batch_size % jax.process_count() == 0, (
         f"batch_size {batch_size} must divide evenly over "
         f"{jax.process_count()} host processes"
     )
-    if jax.process_count() > 1 and config.max_seq_length is None:
-        _LOGGER.warning(
-            "multi-host runs need identical padded shapes on every host each "
-            "step: set max_seq_length and bucket sizes that cover it (one "
-            "bucket), or hosts may disagree on shapes and hang"
-        )
     pipeline = DataPipeline(
         dataset,
         config,

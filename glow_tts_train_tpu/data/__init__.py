@@ -1,5 +1,11 @@
 """Data loading: phoneme CSVs, JSONL / .npy mels, length-bucketed batching."""
 
+from .corpus import (  # noqa: F401
+    MissingMelsError,
+    SpeakerSource,
+    build_dataset,
+    detect_num_symbols,
+)
 from .dataset import (  # noqa: F401
     DataPipeline,
     PhonemeMelDataset,

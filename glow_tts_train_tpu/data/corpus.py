@@ -1,0 +1,130 @@
+"""Corpus assembly: merge per-speaker phoneme/mel sources into one dataset.
+
+Library-side replacement for the dataset-loading section of the reference
+train CLI (reference ``__main__.py:144-220``), reworked as functions so the
+CLI stays thin and other entry points (tests, benchmarks, notebooks) can
+assemble corpora without argparse.  Differences from the reference:
+
+* missing ``.npy`` mels raise :class:`MissingMelsError` instead of calling
+  ``sys.exit`` from library code — the CLI decides how to die
+* ``detect_num_symbols`` works (the reference's auto-detection reads a
+  variable before assignment, reference ``__main__.py:123``)
+"""
+
+import dataclasses
+import logging
+import typing
+from pathlib import Path
+
+from .dataset import PhonemeMelDataset, UttKey, load_mels, load_phonemes
+
+_LOGGER = logging.getLogger("glow_tts_train_tpu.corpus")
+
+
+@dataclasses.dataclass
+class SpeakerSource:
+    """One ``--dataset`` triple: a speaker and its phoneme/mel files."""
+
+    speaker_idx: int
+    phonemes_path: Path
+    mels_path: Path  # JSONL file, or a directory of <utt_id>.npy files
+
+
+class MissingMelsError(RuntimeError):
+    """Raised when .npy mels are absent and skipping is not allowed."""
+
+    def __init__(self, speaker_idx: int, missing_ids: typing.Collection[str]):
+        self.speaker_idx = speaker_idx
+        self.missing_ids = sorted(missing_ids)
+        preview = ", ".join(self.missing_ids[:10])
+        if len(self.missing_ids) > 10:
+            preview += ", …"
+        super().__init__(
+            f"speaker {speaker_idx}: no .npy mel for {len(self.missing_ids)} "
+            f"utterance(s): {preview}"
+        )
+
+
+def _npy_presence(
+    utt_ids: typing.Iterable[str], mels_dir: Path
+) -> typing.Tuple[typing.Set[str], typing.Set[str]]:
+    """Partition utterance ids by whether ``<id>.npy`` exists in mels_dir."""
+    present: typing.Set[str] = set()
+    absent: typing.Set[str] = set()
+    for utt_id in utt_ids:
+        target = present if (mels_dir / f"{utt_id}.npy").is_file() else absent
+        target.add(utt_id)
+    return present, absent
+
+
+def build_dataset(
+    sources: typing.Sequence[SpeakerSource],
+    config,
+    *,
+    mels_are_dirs: bool = False,
+    skip_missing_mels: bool = False,
+    multispeaker: typing.Optional[bool] = None,
+) -> PhonemeMelDataset:
+    """Load every speaker source and merge into one PhonemeMelDataset.
+
+    Utterances are keyed ``(speaker_idx, utt_id)`` so ids may repeat across
+    speakers.  JSONL sources load mels eagerly; directory sources only
+    verify ``.npy`` presence here and stream lazily during training.
+    """
+    phonemes: typing.Dict[UttKey, typing.Any] = {}
+    mels: typing.Dict[UttKey, typing.Any] = {}
+    mel_dirs: typing.Dict[int, Path] = {}
+
+    for src in sources:
+        with open(src.phonemes_path, "r", encoding="utf-8") as fh:
+            per_utt = load_phonemes(fh, config)
+
+        if mels_are_dirs:
+            present, absent = _npy_presence(per_utt, Path(src.mels_path))
+            if absent:
+                if not skip_missing_mels:
+                    raise MissingMelsError(src.speaker_idx, absent)
+                _LOGGER.warning(
+                    "speaker %s: %s of %s utterances have no .npy mel — "
+                    "training on the %s that do",
+                    src.speaker_idx,
+                    len(absent),
+                    len(per_utt),
+                    len(present),
+                )
+                per_utt = {u: p for u, p in per_utt.items() if u in present}
+            mel_dirs[src.speaker_idx] = Path(src.mels_path)
+            n_mels = len(per_utt)
+        else:
+            with open(src.mels_path, "r", encoding="utf-8") as fh:
+                per_mel = load_mels(fh)
+            mels.update(
+                {(src.speaker_idx, u): m for u, m in per_mel.items()}
+            )
+            n_mels = len(per_mel)
+
+        phonemes.update({(src.speaker_idx, u): p for u, p in per_utt.items()})
+        _LOGGER.info(
+            "speaker %s: %s phoneme utterance(s), %s mel(s) from %s",
+            src.speaker_idx,
+            len(per_utt),
+            n_mels,
+            src.mels_path,
+        )
+
+    if multispeaker is None:
+        multispeaker = len(sources) > 1
+    return PhonemeMelDataset(
+        id_phonemes=phonemes,
+        id_mels=mels,
+        mel_dirs=mel_dirs,
+        multispeaker=multispeaker,
+    )
+
+
+def detect_num_symbols(dataset: PhonemeMelDataset) -> int:
+    """Smallest symbol-table size covering every phoneme id in the corpus."""
+    highest = max(
+        int(ids.max()) for ids in dataset.id_phonemes.values() if ids.size
+    )
+    return highest + 1

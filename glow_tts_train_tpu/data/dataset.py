@@ -165,20 +165,30 @@ def collate(
     multispeaker: bool = False,
     bucket_size_text: int = 1,
     bucket_size_mel: int = 1,
+    pad_to_text: typing.Optional[int] = None,
+    pad_to_mel: typing.Optional[int] = None,
 ) -> dict:
     """Assemble a channels-last batch dict with bucketed padding.
 
     Mirrors PhonemeMelCollate (dataset.py:72-116): sorts by text length
     descending, zero-pads, rounds the mel axis up to n_frames_per_step — and
     additionally rounds both axes up to bucket multiples for shape stability.
+
+    ``pad_to_text``/``pad_to_mel`` override the local maxima (still rounded
+    up to the bucket grid): multi-host runs pass the GLOBAL batch maxima so
+    every host pads to the identical shape (a shape disagreement between
+    hosts deadlocks the pod's all-reduce).
     """
     order = sorted(
         range(len(items)), key=lambda i: len(items[i][0]), reverse=True
     )
     items = [items[i] for i in order]
 
-    max_text = _round_up(max(len(it[0]) for it in items), max(bucket_size_text, 1))
+    max_text = max(len(it[0]) for it in items)
+    max_text = max(max_text, pad_to_text or 0)
+    max_text = _round_up(max_text, max(bucket_size_text, 1))
     max_mel = max(it[1].shape[1] for it in items)
+    max_mel = max(max_mel, pad_to_mel or 0)
     max_mel = _round_up(max_mel, max(n_frames_per_step, 1))
     max_mel = _round_up(max_mel, max(bucket_size_mel, 1))
 
@@ -206,7 +216,16 @@ def collate(
 
 class DataPipeline:
     """Epoch batch iterator: shuffling, optional length-bucketing, drop_last,
-    and per-host sharding."""
+    and per-host sharding.
+
+    Multi-host determinism: every host computes the identical GLOBAL batch
+    plan from the shared seed and the corpus metadata (text lengths are in
+    memory; mel lengths come from .npy headers) — same shuffle, same bucket
+    sort, same batch order, same padded shape per step — then takes its own
+    strided rows of each global batch.  This is the property the reference
+    gets from DistributedSampler's rank-strided same-everywhere schedule
+    (reference __main__.py:235); without it, hosts can disagree on padded
+    shapes in the same step and hang the pod's all-reduce."""
 
     def __init__(
         self,
@@ -230,10 +249,36 @@ class DataPipeline:
         self.epoch = 0
 
     def __len__(self) -> int:
-        n = len(self.dataset.ids) // self.num_shards
-        if self.drop_last:
-            return n // self.batch_size
-        return (n + self.batch_size - 1) // self.batch_size
+        n = len(self.dataset.ids)
+        global_batch = self.batch_size * self.num_shards
+        if self.drop_last or self.num_shards > 1:
+            return n // global_batch
+        return (n + global_batch - 1) // global_batch
+
+    def _global_plan(self, rng) -> typing.List[typing.List[UttKey]]:
+        """The epoch's global batch schedule — identical on every host."""
+        ids = list(self.dataset.ids)
+        rng.shuffle(ids)
+        global_batch = self.batch_size * self.num_shards
+        leftover = len(ids) % global_batch
+        # Drop the leftover BEFORE the bucket sort: post-shuffle the tail is
+        # a random subset, so no fixed set of utterances (previously: always
+        # the longest ones) is excluded every epoch.  Multi-host always
+        # drops — a partial batch can't split evenly across hosts.
+        if leftover and (self.drop_last or self.num_shards > 1):
+            ids = ids[:-leftover]
+
+        if self.bucket_by_length:
+            # sort by mel length, batch neighbors, shuffle batch order:
+            # minimizes padding waste while keeping epoch-level randomness
+            ids.sort(key=self.dataset.mel_length)
+
+        plan = [
+            ids[i : i + global_batch]
+            for i in range(0, len(ids), global_batch)
+        ]
+        rng.shuffle(plan)
+        return plan
 
     def batches(self) -> typing.Iterator[dict]:
         """One epoch of host batches.  Reshuffles every call (the reference
@@ -241,37 +286,24 @@ class DataPipeline:
         every epoch; we fix that)."""
         rng = np.random.default_rng(self.seed + self.epoch)
         self.epoch += 1
-        ids = list(self.dataset.ids)
-        rng.shuffle(ids)
-        # per-host shard (DistributedSampler equivalent).  Truncate to a
-        # multiple of num_shards FIRST so every host sees the same number of
-        # utterances (and therefore the same number of batches) — uneven
-        # shards would deadlock the pod in the gradient all-reduce.
-        usable = (len(ids) // self.num_shards) * self.num_shards
-        ids = ids[:usable][self.shard_index :: self.num_shards]
-
-        if self.bucket_by_length:
-            # sort by mel length, batch neighbors, shuffle batch order:
-            # minimizes padding waste while keeping epoch-level randomness
-            ids.sort(key=self.dataset.mel_length)
-
-        batches = [
-            ids[i : i + self.batch_size]
-            for i in range(0, len(ids), self.batch_size)
-        ]
-        if self.drop_last and batches and len(batches[-1]) < self.batch_size:
-            batches = batches[:-1]
-        rng.shuffle(batches)
-
         m = self.config.model
-        for batch_ids in batches:
-            items = [self.dataset.get(k) for k in batch_ids]
+        for batch_ids in self._global_plan(rng):
+            # pad targets from the GLOBAL batch so every host's shard of it
+            # collates to the same (t_x, t_y) — metadata only, no mel loads
+            pad_text = max(
+                len(self.dataset.id_phonemes[k]) for k in batch_ids
+            )
+            pad_mel = max(self.dataset.mel_length(k) for k in batch_ids)
+            local_ids = batch_ids[self.shard_index :: self.num_shards]
+            items = [self.dataset.get(k) for k in local_ids]
             yield collate(
                 items,
                 n_frames_per_step=m.n_frames_per_step,
                 multispeaker=self.dataset.multispeaker,
                 bucket_size_text=self.config.bucket_size_text,
                 bucket_size_mel=self.config.bucket_size_mel,
+                pad_to_text=pad_text,
+                pad_to_mel=pad_mel,
             )
 
     __iter__ = batches

@@ -96,12 +96,14 @@ def test_pipeline_epochs_and_sharding():
     order2 = [b["x_lengths"].tolist() for b in pipeline.batches()]
     assert order1 != order2 or len(order1) <= 1
 
-    # host sharding partitions the data
+    # host sharding partitions the data evenly: 10 utterances, global batch
+    # 2*2=4 -> 2 full global batches, 2 leftover dropped (multi-host always
+    # drops partials — they can't split evenly across hosts)
     p0 = DataPipeline(dataset, config, num_shards=2, shard_index=0, drop_last=False)
     p1 = DataPipeline(dataset, config, num_shards=2, shard_index=1, drop_last=False)
     n0 = sum(b["x"].shape[0] for b in p0.batches())
     n1 = sum(b["x"].shape[0] for b in p1.batches())
-    assert n0 + n1 == 10
+    assert n0 == n1 == 4
 
 
 def test_lazy_npy_loading(tmp_path):
@@ -146,3 +148,101 @@ def test_sharding_equal_batch_counts():
         )
         counts.append(sum(1 for _ in p.batches()))
     assert len(set(counts)) == 1, counts
+
+
+def test_multihost_identical_shapes_per_step():
+    """All hosts must produce the IDENTICAL (t_x, t_y) sequence each epoch —
+    a shape disagreement in any step hangs the pod's all-reduce."""
+    dataset = make_dataset(37)
+    config = TrainingConfig(batch_size=2, bucket_size_text=1, bucket_size_mel=1)
+    shapes_per_shard = []
+    rows_per_shard = []
+    for shard in range(4):
+        p = DataPipeline(dataset, config, num_shards=4, shard_index=shard)
+        batches = list(p.batches())
+        shapes_per_shard.append(
+            [(b["x"].shape[1], b["y"].shape[1]) for b in batches]
+        )
+        rows_per_shard.append(sum(b["x"].shape[0] for b in batches))
+    assert len(shapes_per_shard[0]) == 37 // (2 * 4)
+    for other in shapes_per_shard[1:]:
+        assert other == shapes_per_shard[0]
+    assert len(set(rows_per_shard)) == 1
+
+
+def test_drop_last_rotates_across_epochs():
+    """drop_last must not permanently exclude a fixed subset (previously the
+    longest-mel utterances were dropped every epoch)."""
+    dataset = make_dataset(11)  # batch 2 -> 1 utterance dropped per epoch
+    config = TrainingConfig(batch_size=2, bucket_size_text=1, bucket_size_mel=1)
+    pipeline = DataPipeline(dataset, config, drop_last=True)
+    lengths = sorted(dataset.mel_length(k) for k in dataset.ids)
+    seen_counts = []
+    for _ in range(8):
+        seen = sum(b["y_lengths"].shape[0] for b in pipeline.batches())
+        assert seen == 10
+        seen_counts.append(seen)
+    # across epochs the dropped utterance varies: collect per-epoch total
+    # mel-frame sums — if the same utterance were always dropped they would
+    # cover a single value set; with rotation the longest utterance appears
+    # in at least one epoch
+    longest = lengths[-1]
+    appeared = False
+    for _ in range(8):
+        for b in pipeline.batches():
+            if longest in b["y_lengths"].tolist():
+                appeared = True
+    assert appeared, "longest utterance never trained on in 8 epochs"
+
+
+def test_corpus_build_dataset_and_num_symbols(tmp_path):
+    import pytest
+
+    from glow_tts_train_tpu.data import (
+        MissingMelsError,
+        SpeakerSource,
+        build_dataset,
+        detect_num_symbols,
+    )
+
+    rng = np.random.default_rng(3)
+    # speaker 0: JSONL mels; speaker 1: .npy dir with one missing mel
+    (tmp_path / "s0.csv").write_text("a|1 2 3\nb|4 5\n")
+    with open(tmp_path / "s0.jsonl", "w") as f:
+        for utt in ("a", "b"):
+            f.write(
+                json.dumps(
+                    {"id": utt, "mel": rng.standard_normal((4, 6)).tolist()}
+                )
+                + "\n"
+            )
+    (tmp_path / "s1.csv").write_text("c|7 8\nd|9 11\n")
+    npy_dir = tmp_path / "s1_mels"
+    npy_dir.mkdir()
+    np.save(npy_dir / "c.npy", rng.standard_normal((4, 7)).astype(np.float32))
+
+    config = TrainingConfig()
+    sources = [
+        SpeakerSource(0, tmp_path / "s0.csv", tmp_path / "s0.jsonl"),
+        SpeakerSource(1, tmp_path / "s1.csv", npy_dir),
+    ]
+    # JSONL-only assembly works standalone
+    ds0 = build_dataset(sources[:1], config)
+    assert set(ds0.ids) == {(0, "a"), (0, "b")}
+    assert not ds0.multispeaker
+
+    # missing .npy dies loudly unless skipping is requested
+    with pytest.raises(MissingMelsError, match="speaker 1"):
+        build_dataset(sources[1:], config, mels_are_dirs=True)
+
+    # mixed corpus: JSONL speaker keeps eager mels, dir speaker streams
+    # (note: mels_are_dirs applies per-run like the reference's --mels-dir,
+    # so rebuild speaker 0 alone eagerly and merge-check speaker 1 lazily)
+    ds1 = build_dataset(
+        sources[1:], config, mels_are_dirs=True, skip_missing_mels=True
+    )
+    assert set(ds1.ids) == {(1, "c")}
+    text, mel, speaker = ds1.get((1, "c"))
+    assert mel.shape == (4, 7) and speaker == 1
+    assert detect_num_symbols(ds1) == 9
+    assert detect_num_symbols(ds0) == 6
