@@ -62,6 +62,16 @@ def _path_elem(p) -> str:
     return str(p)
 
 
+def _opt_fingerprint(opt_state) -> str:
+    """Structural fingerprint of an optimizer state: the treedef string.
+
+    Stored with the checkpoint so a changed optax chain (reordered, resized,
+    different transforms) is detected at load time instead of silently
+    zipping saved leaves onto the wrong slots whenever shapes happen to
+    match."""
+    return str(jax.tree_util.tree_structure(opt_state))
+
+
 def save_checkpoint(checkpoint: Checkpoint, checkpoint_path: Path) -> None:
     """Write a checkpoint.
 
@@ -76,18 +86,16 @@ def save_checkpoint(checkpoint: Checkpoint, checkpoint_path: Path) -> None:
     checkpoint_path.parent.mkdir(parents=True, exist_ok=True)
 
     arrays = _flatten(checkpoint.params, "model/")
-    if checkpoint.opt_state is not None:
-        # opt_state structure is rebuilt from the optimizer at load time;
-        # store leaves in flatten order
-        leaves = jax.tree_util.tree_leaves(checkpoint.opt_state)
-        for i, leaf in enumerate(leaves):
-            arrays[f"opt/{i:04d}"] = np.asarray(leaf)
-
     meta = {
         "global_step": checkpoint.global_step,
         "learning_rate": checkpoint.learning_rate,
         "version": checkpoint.version,
     }
+    if checkpoint.opt_state is not None:
+        # opt leaves are named by tree path (like params) and guarded by a
+        # structure fingerprint — never zipped positionally
+        arrays.update(_flatten(checkpoint.opt_state, "opt/"))
+        meta["opt_treedef"] = _opt_fingerprint(checkpoint.opt_state)
     arrays[_META_KEY] = np.frombuffer(
         json.dumps(meta).encode("utf-8"), dtype=np.uint8
     )
@@ -128,6 +136,60 @@ def _merge_into(fresh: Params, saved: typing.Dict[str, np.ndarray]) -> Params:
     return merged
 
 
+def _restore_opt_state(
+    fresh_opt_state,
+    saved: typing.Dict[str, np.ndarray],
+    fingerprint: typing.Optional[str],
+) -> typing.Any:
+    """All-or-nothing optimizer-state restore.
+
+    ``saved`` maps tree-path keys (no ``opt/`` prefix) to arrays.  Any
+    divergence — fingerprint mismatch, missing/extra keys, or a single
+    shape mismatch — discards the ENTIRE saved state with a warning and
+    returns the fresh state: a clean restart beats a silent mix of restored
+    Adam mu with fresh-init nu/count."""
+    flat_with_path = jax.tree_util.tree_flatten_with_path(fresh_opt_state)[0]
+    treedef = jax.tree_util.tree_structure(fresh_opt_state)
+    paths = [
+        "/".join(_path_elem(p) for p in path) for path, _ in flat_with_path
+    ]
+    leaves = [leaf for _, leaf in flat_with_path]
+
+    def fresh(reason: str):
+        _LOGGER.warning(
+            "discarding saved optimizer state (%s); using fresh optimizer "
+            "state — training resumes but Adam moments restart",
+            reason,
+        )
+        return fresh_opt_state
+
+    if fingerprint is None:
+        # legacy checkpoint with positional opt/NNNN keys
+        keys = sorted(saved)
+        if len(keys) != len(leaves):
+            return fresh(f"{len(keys)} saved vs {len(leaves)} fresh leaves")
+        if any(np.shape(l) != saved[k].shape for k, l in zip(keys, leaves)):
+            return fresh("leaf shape mismatch in legacy positional state")
+        return jax.tree_util.tree_unflatten(
+            treedef,
+            [
+                saved[k].astype(np.asarray(l).dtype)
+                for k, l in zip(keys, leaves)
+            ],
+        )
+
+    if fingerprint != _opt_fingerprint(fresh_opt_state):
+        return fresh("optimizer structure changed since save")
+    if set(saved) != set(paths):
+        return fresh("optimizer state keys do not match")
+    if any(np.shape(l) != saved[p].shape for p, l in zip(paths, leaves)):
+        return fresh("optimizer leaf shape mismatch")
+    return jax.tree_util.tree_unflatten(
+        treedef,
+        [saved[p].astype(np.asarray(l).dtype) for p, l in zip(paths, leaves)],
+    )
+
+
 def _save_orbax(checkpoint: Checkpoint, path: Path) -> None:
     import orbax.checkpoint as ocp
 
@@ -140,12 +202,16 @@ def _save_orbax(checkpoint: Checkpoint, path: Path) -> None:
         },
     }
     if checkpoint.opt_state is not None:
+        # path-named leaves ("/" → "." since orbax reserves "/") plus the
+        # structure fingerprint, same all-or-nothing contract as .npz
         tree["opt"] = {
-            f"{i:04d}": leaf
-            for i, leaf in enumerate(
-                jax.tree_util.tree_leaves(checkpoint.opt_state)
-            )
+            k[len("opt/"):].replace("/", "."): v
+            for k, v in _flatten(checkpoint.opt_state, "opt/").items()
         }
+        tree["meta"]["opt_treedef"] = np.frombuffer(
+            _opt_fingerprint(checkpoint.opt_state).encode("utf-8"),
+            dtype=np.uint8,
+        ).copy()
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(path.absolute(), tree, force=True)
     ckptr.wait_until_finished()
@@ -170,22 +236,17 @@ def _load_orbax(path: Path, config: TrainingConfig, load_optimizer: bool) -> Che
         )
         opt_state = tx.init(flat)
         if "opt" in tree:
-            leaves, treedef = jax.tree_util.tree_flatten(opt_state)
-            saved_opt = [tree["opt"][k] for k in sorted(tree["opt"])]
-            if len(saved_opt) == len(leaves):
-                opt_state = jax.tree_util.tree_unflatten(
-                    treedef,
-                    [
-                        np.asarray(s).astype(np.asarray(l).dtype)
-                        if np.shape(l) == np.shape(s)
-                        else l
-                        for s, l in zip(saved_opt, leaves)
-                    ],
-                )
-            else:
-                _LOGGER.warning(
-                    "orbax optimizer state mismatch; using fresh optimizer state"
-                )
+            fp_arr = tree["meta"].get("opt_treedef")
+            fingerprint = (
+                bytes(np.asarray(fp_arr)).decode("utf-8")
+                if fp_arr is not None
+                else None
+            )
+            saved_opt = {
+                k.replace(".", "/"): np.asarray(v)
+                for k, v in tree["opt"].items()
+            }
+            opt_state = _restore_opt_state(opt_state, saved_opt, fingerprint)
 
     meta = tree["meta"]
     return Checkpoint(
@@ -238,23 +299,13 @@ def load_checkpoint(
             jax.tree_util.tree_map(jnp.asarray, params)
         )
         opt_state = tx.init(flat)
-        opt_keys = sorted(k for k in saved if k.startswith("opt/"))
-        if opt_keys:
-            leaves, treedef = jax.tree_util.tree_flatten(opt_state)
-            if len(opt_keys) == len(leaves):
-                new_leaves = [
-                    saved[k].astype(np.asarray(l).dtype) if np.shape(l) == saved[k].shape
-                    else l
-                    for k, l in zip(opt_keys, leaves)
-                ]
-                opt_state = jax.tree_util.tree_unflatten(treedef, new_leaves)
-            else:
-                _LOGGER.warning(
-                    "optimizer state mismatch (%s saved vs %s fresh leaves); "
-                    "using fresh optimizer state",
-                    len(opt_keys),
-                    len(leaves),
-                )
+        saved_opt = {
+            k[len("opt/"):]: v for k, v in saved.items() if k.startswith("opt/")
+        }
+        if saved_opt:
+            opt_state = _restore_opt_state(
+                opt_state, saved_opt, meta.get("opt_treedef")
+            )
 
     return Checkpoint(
         params=params,

@@ -166,17 +166,13 @@ def main():
                 "--batch-size is ignored for exported artifacts "
                 "(one utterance per call)"
             )
-        argv = [str(args.checkpoint)]
-        if args.numpy_dir:
-            argv += ["--numpy-dir", str(args.numpy_dir)]
-        if args.csv:
-            argv += ["--csv"]
-        argv += ["--noise-scale", str(args.noise_scale)]
-        argv += ["--length-scale", str(args.length_scale)]
-        if args.debug:
-            argv += ["--debug"]
-        sys.argv = ["glow-tts-infer-export-tpu"] + argv
-        return infer_export.main()
+        return infer_export.run(
+            args.checkpoint,
+            numpy_dir=args.numpy_dir,
+            csv=args.csv,
+            noise_scale=args.noise_scale,
+            length_scale=args.length_scale,
+        )
     if args.numpy_dir:
         args.numpy_dir = Path(args.numpy_dir)
         args.numpy_dir.mkdir(parents=True, exist_ok=True)

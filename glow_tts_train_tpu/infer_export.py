@@ -18,7 +18,7 @@ from pathlib import Path
 _LOGGER = logging.getLogger("glow_tts_train_tpu.infer_export")
 
 
-def main():
+def main(argv=None):
     parser = argparse.ArgumentParser(prog="glow-tts-infer-export-tpu")
     parser.add_argument("model_dir", help="Directory with exported model")
     parser.add_argument("--numpy-dir", help="Output .npy files instead of JSONL")
@@ -36,24 +36,46 @@ def main():
         "multi-platform; 'cpu' runs anywhere)",
     )
     parser.add_argument("--debug", action="store_true")
-    args = parser.parse_args()
+    args = parser.parse_args(argv)
 
     logging.basicConfig(level=logging.DEBUG if args.debug else logging.INFO)
+    run(
+        args.model_dir,
+        numpy_dir=args.numpy_dir,
+        csv=args.csv,
+        noise_scale=args.noise_scale,
+        length_scale=args.length_scale,
+        seed=args.seed,
+        platform=args.platform,
+    )
 
+
+def run(
+    model_dir,
+    *,
+    numpy_dir=None,
+    csv: bool = False,
+    noise_scale: float = 0.667,
+    length_scale: float = 1.0,
+    seed: int = 1234,
+    platform: str = "auto",
+) -> None:
+    """Stream stdin utterances through an exported artifact (library entry —
+    the torch-infer CLI delegates here for export-directory inputs)."""
     import numpy as np
     import jax
 
-    if args.platform != "auto":
-        jax.config.update("jax_platforms", args.platform)
+    if platform != "auto":
+        jax.config.update("jax_platforms", platform)
     from jax import export as jax_export
 
     from .config import TrainingConfig
     from .export import ARTIFACT_NAME, META_NAME
 
-    model_dir = Path(args.model_dir)
-    if args.numpy_dir:
-        args.numpy_dir = Path(args.numpy_dir)
-        args.numpy_dir.mkdir(parents=True, exist_ok=True)
+    model_dir = Path(model_dir)
+    if numpy_dir:
+        numpy_dir = Path(numpy_dir)
+        numpy_dir.mkdir(parents=True, exist_ok=True)
 
     with open(model_dir / "config.json") as config_file:
         config = TrainingConfig.load(config_file)
@@ -72,8 +94,8 @@ def main():
     )
 
     output_obj = {"id": "", "audio": dataclasses.asdict(config.audio), "mel": []}
-    scales = np.asarray([args.noise_scale, args.length_scale], np.float32)
-    seed = np.asarray(args.seed, np.int32)
+    scales = np.asarray([noise_scale, length_scale], np.float32)
+    seed_arr = np.asarray(seed, np.int32)
 
     import os
 
@@ -86,7 +108,7 @@ def main():
             if not line:
                 continue
             utt_id = ""
-            if args.csv:
+            if csv:
                 utt_id, line = line.split("|", maxsplit=1)
             phoneme_ids = [int(p) for p in line.split()]
             if len(phoneme_ids) > max_text_length:
@@ -103,14 +125,14 @@ def main():
             text_lengths = np.asarray([len(phoneme_ids)], np.int32)
 
             start_time = time.perf_counter()
-            mel, mel_lengths = exported.call(text, text_lengths, scales, seed)
+            mel, mel_lengths = exported.call(text, text_lengths, scales, seed_arr)
             elapsed = time.perf_counter() - start_time
 
             mel = np.asarray(mel)[0, :, : int(np.asarray(mel_lengths)[0])]
-            if args.numpy_dir:
+            if numpy_dir:
                 if not utt_id:
                     utt_id = str(time.time())
-                mel_path = args.numpy_dir / (utt_id + ".npy")
+                mel_path = numpy_dir / (utt_id + ".npy")
                 np.save(str(mel_path), mel, allow_pickle=True)
                 _LOGGER.debug("Wrote %s", mel_path)
             else:

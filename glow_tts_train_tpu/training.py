@@ -216,7 +216,13 @@ def train(
                 profiling = False
                 profile_dir = None
                 _LOGGER.info("Wrote profiler trace")
-            if log_every and (step % log_every) == 0:
+            if (
+                log_every
+                and (step % log_every) == 0
+                and _LOGGER.isEnabledFor(logging.DEBUG)
+            ):
+                # float() blocks on the in-flight step — only pay that host
+                # sync when the message will actually be emitted
                 _LOGGER.debug(
                     "Loss: %s (step=%s)", float(metrics["loss"]), step
                 )
@@ -246,7 +252,11 @@ def train(
                     )
                     metrics_file.write("\n")
 
-        if (epoch % checkpoint_epochs) == 0 and is_chief:
+        # Orbax saves are a cross-process collective (every process writes
+        # its addressable shards), so ALL processes must call them; only the
+        # single-file .npz write and the config snapshot stay chief-gated.
+        all_process_save = config.checkpoint_format == "orbax"
+        if (epoch % checkpoint_epochs) == 0 and (is_chief or all_process_save):
             global_step = int(state.step)
             checkpoint_path = (
                 Path(model_dir)
@@ -262,10 +272,11 @@ def train(
                 ),
                 checkpoint_path,
             )
-            config_path = Path(model_dir) / f"config_{global_step}.json"
-            with open(config_path, "w") as config_file:
-                config.save(config_file)
-            _LOGGER.info("Saved checkpoint to %s", checkpoint_path)
+            if is_chief:
+                config_path = Path(model_dir) / f"config_{global_step}.json"
+                with open(config_path, "w") as config_file:
+                    config.save(config_file)
+                _LOGGER.info("Saved checkpoint to %s", checkpoint_path)
 
         _LOGGER.debug(
             "Epoch %s complete in %s second(s) (global step=%s)",

@@ -94,6 +94,76 @@ def test_resume_continues_training(tmp_path):
     assert int(state2.step) == 5
 
 
+def test_opt_restore_refuses_changed_optimizer(tmp_path, caplog, monkeypatch):
+    """A checkpoint saved with one optax chain must NOT positionally load
+    into a different chain — the fingerprint refuses and the whole saved
+    optimizer state is discarded with a warning."""
+    import logging
+
+    import optax
+
+    from glow_tts_train_tpu import checkpoint as ckpt_mod
+
+    config = tiny_config()
+    state = training.create_state(config, jax.random.PRNGKey(0))
+    path = tmp_path / "ckpt.npz"
+    save_checkpoint(
+        Checkpoint(state.params, 1.0, 3, 1, opt_state=state.opt_state), path
+    )
+
+    # same leaf shapes, different transform order — positional zip would
+    # silently swap adam's mu/nu slots with the trace slot
+    def reordered_optimizer(config):
+        return optax.chain(
+            optax.trace(decay=0.9),
+            optax.scale_by_adam(),
+            optax.scale_by_learning_rate(1e-3),
+        )
+
+    monkeypatch.setattr(ckpt_mod, "make_optimizer", reordered_optimizer)
+    with caplog.at_level(logging.WARNING):
+        loaded = load_checkpoint(path, config)
+    assert any(
+        "discarding saved optimizer state" in r.message for r in caplog.records
+    )
+    # the returned state is the FRESH one for the new chain (count == 0)
+    fresh = reordered_optimizer(config).init(
+        jax.flatten_util.ravel_pytree(loaded.params)[0]
+    )
+    assert jax.tree_util.tree_structure(loaded.opt_state) == (
+        jax.tree_util.tree_structure(fresh)
+    )
+
+
+def test_opt_restore_all_or_nothing_on_shape_change(tmp_path, caplog):
+    """If any opt leaf shape mismatches (e.g. model resize), the WHOLE saved
+    optimizer state is discarded — never restored-mu + fresh-nu."""
+    import logging
+
+    config = tiny_config()
+    state = training.create_state(config, jax.random.PRNGKey(0))
+    path = tmp_path / "ckpt.npz"
+    save_checkpoint(
+        Checkpoint(state.params, 1.0, 3, 1, opt_state=state.opt_state), path
+    )
+
+    config2 = tiny_config(n_speakers=3, gin_channels=4)  # more params
+    with caplog.at_level(logging.WARNING):
+        loaded = load_checkpoint(path, config2)
+    assert any(
+        "discarding saved optimizer state" in r.message for r in caplog.records
+    )
+    # fresh adam state: count is zero
+    counts = [
+        np.asarray(leaf)
+        for path_, leaf in jax.tree_util.tree_flatten_with_path(
+            loaded.opt_state
+        )[0]
+        if "count" in "/".join(str(p) for p in path_)
+    ]
+    assert counts and all(int(c) == 0 for c in counts)
+
+
 def test_orbax_checkpoint_roundtrip(tmp_path):
     """.orbax directory checkpoints round-trip params, optimizer state, and
     metadata (the pod-scale format)."""
