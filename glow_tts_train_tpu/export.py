@@ -2,10 +2,24 @@
 """Export CLI: serialize an inference-only graph to a portable artifact.
 
 Capability parity with reference `export.py` (TorchScript) and
-`export_onnx.py` (ONNX opset 12): the TPU-native artifact is a serialized
-StableHLO module from ``jax.export`` with the parameters embedded as
-constants — the same "weights baked into a portable graph" contract as ONNX.
-The exported callable mirrors the ONNX signature (export_onnx.py:73-86):
+`export_onnx.py` (ONNX opset 12), with three formats:
+
+* ``--format stablehlo`` (default) — serialized StableHLO via ``jax.export``
+  with parameters embedded as constants: the TPU-native "weights baked into
+  a portable graph" artifact, multi-platform (tpu + cpu).  Note the
+  reference's TorchScript export is broken as shipped (rebinds a
+  nonexistent ``model.infer``, export.py:73); this is the working
+  equivalent.
+* ``--format savedmodel`` — a TensorFlow SavedModel via ``jax2tf``: the
+  graph leaves JAX entirely and runs under stock TensorFlow, and is the
+  direct input to ``tf2onnx`` where that toolchain exists.
+* ``--format onnx`` — a true ``generator.onnx`` (reference
+  export_onnx.py:105-118) converted from the SavedModel function with
+  ``tf2onnx``.  This environment ships no onnx/tf2onnx, so here the command
+  fails with a clear message pointing at the two formats above — it does
+  NOT silently emit a different format under the ONNX name.
+
+Every exported callable mirrors the ONNX signature (export_onnx.py:73-86):
 
     (input [1, T] int32, input_lengths [1] int32,
      scales [2] f32 = [noise, length], seed [] int32)
@@ -13,9 +27,7 @@ The exported callable mirrors the ONNX signature (export_onnx.py:73-86):
 
 Shapes are static (XLA): text padded to ``--max-text-length``, frames
 generated into ``--max-frames``.  A ``config.json`` is written next to the
-artifact (export_onnx.py:92-93).  Note the reference's TorchScript export is
-broken as shipped (rebinds a nonexistent ``model.infer``, export.py:73);
-this export is the working equivalent.
+artifact (export_onnx.py:92-93).
 """
 
 import argparse
@@ -26,16 +38,15 @@ from pathlib import Path
 _LOGGER = logging.getLogger("glow_tts_train_tpu.export")
 
 ARTIFACT_NAME = "generator.stablehlo"
+ONNX_NAME = "generator.onnx"
 META_NAME = "export_meta.json"
 
+FORMATS = ("stablehlo", "savedmodel", "onnx")
 
-def export_model(
-    params, config, max_text_length: int, max_frames: int
-) -> bytes:
-    """Build + serialize the inference graph with params as constants."""
+
+def build_infer_fn(params, config, max_frames: int):
+    """The inference graph with params closed over (exported as constants)."""
     import jax
-    import jax.numpy as jnp
-    from jax import export as jax_export
 
     from .models import forward_gen, hyper_from_config
 
@@ -58,6 +69,16 @@ def export_model(
         # [1, t, n_mel] -> [1, n_mel, t] (ONNX output layout)
         return y.transpose(0, 2, 1), y_lengths
 
+    return infer_fn
+
+
+def export_model(params, config, max_text_length: int, max_frames: int) -> bytes:
+    """Build + serialize the StableHLO inference graph."""
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jax_export
+
+    infer_fn = build_infer_fn(params, config, max_frames)
     args_spec = (
         jax.ShapeDtypeStruct((1, max_text_length), jnp.int32),
         jax.ShapeDtypeStruct((1,), jnp.int32),
@@ -72,7 +93,73 @@ def export_model(
     return exported.serialize()
 
 
-def main():
+def _tf_function(params, config, max_text_length: int, max_frames: int):
+    """The inference graph as a tf.function (shared by savedmodel + onnx)."""
+    import tensorflow as tf
+    from jax.experimental import jax2tf
+
+    infer_fn = build_infer_fn(params, config, max_frames)
+    return tf.function(
+        jax2tf.convert(infer_fn, with_gradient=False),
+        input_signature=[
+            tf.TensorSpec((1, max_text_length), tf.int32, name="input"),
+            tf.TensorSpec((1,), tf.int32, name="input_lengths"),
+            tf.TensorSpec((2,), tf.float32, name="scales"),
+            tf.TensorSpec((), tf.int32, name="seed"),
+        ],
+        autograph=False,
+    )
+
+
+def export_savedmodel(
+    params, config, max_text_length: int, max_frames: int, output_dir: Path
+) -> None:
+    """Write a TensorFlow SavedModel — the graph fully out of JAX."""
+    import tensorflow as tf
+
+    module = tf.Module()
+    module.infer = _tf_function(params, config, max_text_length, max_frames)
+    tf.saved_model.save(
+        module,
+        str(output_dir),
+        signatures={"serving_default": module.infer.get_concrete_function()},
+    )
+
+
+def export_onnx(
+    params, config, max_text_length: int, max_frames: int, output_dir: Path
+) -> None:
+    """Write a true .onnx (via tf2onnx) — or fail with a clear message."""
+    try:
+        import tf2onnx  # noqa: F401
+    except ImportError:
+        raise SystemExit(
+            "ONNX export needs the tf2onnx + onnx packages, which are not "
+            "installed here. Use '--format stablehlo' (TPU/CPU-portable "
+            "jax.export artifact) or '--format savedmodel' (runs under "
+            "stock TensorFlow; feed it to `python -m tf2onnx.convert "
+            "--saved-model <dir>` on a machine with the ONNX toolchain)."
+        )
+    import tf2onnx
+
+    tf_fn = _tf_function(params, config, max_text_length, max_frames)
+    import tensorflow as tf
+
+    model_proto, _ = tf2onnx.convert.from_function(
+        tf_fn,
+        input_signature=[
+            tf.TensorSpec((1, max_text_length), tf.int32, name="input"),
+            tf.TensorSpec((1,), tf.int32, name="input_lengths"),
+            tf.TensorSpec((2,), tf.float32, name="scales"),
+            tf.TensorSpec((), tf.int32, name="seed"),
+        ],
+        opset=17,
+        output_path=str(output_dir / ONNX_NAME),
+    )
+    del model_proto
+
+
+def main(argv=None):
     parser = argparse.ArgumentParser(prog="glow-tts-export-tpu")
     parser.add_argument("checkpoint", help="Path to model checkpoint (.npz or .pth)")
     parser.add_argument("output", help="Directory to write exported model")
@@ -81,13 +168,21 @@ def main():
     )
     parser.add_argument("--num-symbols", type=int)
     parser.add_argument(
+        "--format",
+        default="stablehlo",
+        choices=FORMATS,
+        help="Artifact format (stablehlo: jax.export, tpu+cpu; savedmodel: "
+        "TensorFlow SavedModel via jax2tf; onnx: true .onnx via tf2onnx "
+        "where that toolchain is installed)",
+    )
+    parser.add_argument(
         "--max-text-length", type=int, default=256, help="Static phoneme budget"
     )
     parser.add_argument(
         "--max-frames", type=int, default=2048, help="Static mel frame budget"
     )
     parser.add_argument("--debug", action="store_true")
-    args = parser.parse_args()
+    args = parser.parse_args(argv)
 
     logging.basicConfig(level=logging.DEBUG if args.debug else logging.INFO)
 
@@ -116,16 +211,27 @@ def main():
     params = store_inverse(checkpoint.params)
 
     args.output.mkdir(parents=True, exist_ok=True)
+
+    if args.format == "stablehlo":
+        serialized = export_model(
+            params, config, args.max_text_length, args.max_frames
+        )
+        (args.output / ARTIFACT_NAME).write_bytes(serialized)
+    elif args.format == "savedmodel":
+        export_savedmodel(
+            params, config, args.max_text_length, args.max_frames, args.output
+        )
+    else:
+        export_onnx(
+            params, config, args.max_text_length, args.max_frames, args.output
+        )
+
     with open(args.output / "config.json", "w") as config_file:
         config.save(config_file)
-
-    serialized = export_model(
-        params, config, args.max_text_length, args.max_frames
-    )
-    (args.output / ARTIFACT_NAME).write_bytes(serialized)
     with open(args.output / META_NAME, "w") as meta_file:
         json.dump(
             {
+                "format": args.format,
                 "max_text_length": args.max_text_length,
                 "max_frames": args.max_frames,
                 "global_step": checkpoint.global_step,
@@ -133,7 +239,7 @@ def main():
             meta_file,
             indent=2,
         )
-    _LOGGER.info("Exported model to %s", args.output)
+    _LOGGER.info("Exported model (%s) to %s", args.format, args.output)
 
 
 if __name__ == "__main__":

@@ -209,7 +209,11 @@ def main():
 
     import os
 
-    if os.isatty(sys.stdin.fileno()):
+    try:
+        interactive = os.isatty(sys.stdin.fileno())
+    except (OSError, ValueError):  # stdin replaced by a pipe-less object
+        interactive = False
+    if interactive:
         print("Reading whitespace-separated phoneme ids from stdin...", file=sys.stderr)
 
     def emit(utt_id, mel):

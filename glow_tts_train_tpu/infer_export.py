@@ -61,13 +61,12 @@ def run(
     platform: str = "auto",
 ) -> None:
     """Stream stdin utterances through an exported artifact (library entry —
-    the torch-infer CLI delegates here for export-directory inputs)."""
-    import numpy as np
-    import jax
+    the torch-infer CLI delegates here for export-directory inputs).
 
-    if platform != "auto":
-        jax.config.update("jax_platforms", platform)
-    from jax import export as jax_export
+    Artifact type is detected from the directory contents: a StableHLO
+    ``generator.stablehlo`` runs via jax.export; a TensorFlow SavedModel
+    (``saved_model.pb``) runs under stock TF — no JAX involved."""
+    import numpy as np
 
     from .config import TrainingConfig
     from .export import ARTIFACT_NAME, META_NAME
@@ -84,9 +83,39 @@ def run(
     max_text_length = int(meta["max_text_length"])
 
     start_time = time.perf_counter()
-    exported = jax_export.deserialize(
-        bytearray((model_dir / ARTIFACT_NAME).read_bytes())
-    )
+    if (model_dir / ARTIFACT_NAME).exists():
+        import jax
+
+        if platform != "auto":
+            jax.config.update("jax_platforms", platform)
+        from jax import export as jax_export
+
+        exported = jax_export.deserialize(
+            bytearray((model_dir / ARTIFACT_NAME).read_bytes())
+        )
+        call_fn = exported.call
+    elif (model_dir / "saved_model.pb").exists():
+        import tensorflow as tf
+
+        loaded = tf.saved_model.load(str(model_dir))
+        tf_fn = getattr(loaded, "infer", None) or loaded.signatures[
+            "serving_default"
+        ]
+
+        def call_fn(text, text_lengths, scales, seed):
+            mel, mel_lengths = tf_fn(
+                tf.constant(text),
+                tf.constant(text_lengths),
+                tf.constant(scales),
+                tf.constant(seed),
+            )
+            return np.asarray(mel), np.asarray(mel_lengths)
+
+    else:
+        raise SystemExit(
+            f"no runnable artifact in {model_dir}: expected {ARTIFACT_NAME} "
+            "(StableHLO) or saved_model.pb (TensorFlow SavedModel)"
+        )
     _LOGGER.info(
         "Loaded exported model from %s in %s second(s)",
         model_dir,
@@ -99,7 +128,11 @@ def run(
 
     import os
 
-    if os.isatty(sys.stdin.fileno()):
+    try:
+        interactive = os.isatty(sys.stdin.fileno())
+    except (OSError, ValueError):  # stdin replaced by a pipe-less object
+        interactive = False
+    if interactive:
         print("Reading whitespace-separated phoneme ids from stdin...", file=sys.stderr)
 
     try:
@@ -125,7 +158,7 @@ def run(
             text_lengths = np.asarray([len(phoneme_ids)], np.int32)
 
             start_time = time.perf_counter()
-            mel, mel_lengths = exported.call(text, text_lengths, scales, seed_arr)
+            mel, mel_lengths = call_fn(text, text_lengths, scales, seed_arr)
             elapsed = time.perf_counter() - start_time
 
             mel = np.asarray(mel)[0, :, : int(np.asarray(mel_lengths)[0])]
