@@ -125,6 +125,109 @@ def bench_infer_rtf(config, rpc_base, t_x=128, y_max=1024, iters=10):
     return elapsed / max(audio_seconds, 1e-9), elapsed, frames
 
 
+def chip_peak_bf16_flops():
+    """Peak bf16 FLOP/s of the attached chip (for MFU accounting)."""
+    import jax
+
+    kind = jax.devices()[0].device_kind.lower()
+    table = {
+        "v6": 918e12,  # Trillium
+        "v5p": 459e12,
+        "v5": 197e12,  # v5e / "TPU v5 lite"
+        "v4": 275e12,
+    }
+    for key, peak in table.items():
+        if key in kind:
+            return peak, jax.devices()[0].device_kind
+    return 197e12, f"{jax.devices()[0].device_kind} (unknown; assuming v5e peak)"
+
+
+def bench_breakdown(config, rpc_base, b=32, t_x=128, t_y=640, iters=10):
+    """Chained per-stage timings so the step budget is attributable:
+    encoder forward, flow-decoder forward, and the full forward+losses.
+    (MAS is timed separately by bench_mas; backward+optimizer is the
+    difference between the train step and the full forward.)"""
+    import jax
+    import jax.numpy as jnp
+
+    from glow_tts_train_tpu.models import (
+        duration_loss,
+        forward_train,
+        hyper_from_config,
+        init_model,
+        mle_loss,
+    )
+    from glow_tts_train_tpu.models.glow_tts import encoder_forward
+    from glow_tts_train_tpu.ops.flows import decoder_fwd
+    from glow_tts_train_tpu.ops.masks import sequence_mask
+
+    from __graft_entry__ import _synthetic_batch
+
+    hp = hyper_from_config(config)
+    params = init_model(jax.random.PRNGKey(0), hp)
+    batch = {
+        k: jax.device_put(jnp.asarray(v))
+        for k, v in _synthetic_batch(config, b=b, t_x=t_x, t_y=t_y).items()
+    }
+    dtype = jnp.bfloat16 if config.fp16_run else jnp.float32
+
+    def timed(chain_fn, *args):
+        out = chain_fn(*args)  # compile
+        float(out)
+        start = time.perf_counter()
+        float(chain_fn(*args))
+        return (time.perf_counter() - start - rpc_base) / iters
+
+    @jax.jit
+    def enc_chain(params, x, x_lengths):
+        def body(acc, _):
+            x_dep = x + acc.astype(jnp.int32)  # serialize iterations
+            x_m, x_logs, logw, _ = encoder_forward(
+                params, hp, x_dep, x_lengths, compute_dtype=dtype
+            )
+            return (x_m.astype(jnp.float32).mean() * 1e-9).astype(jnp.float32), None
+
+        acc, _ = jax.lax.scan(body, jnp.zeros(()), None, length=iters)
+        return acc
+
+    @jax.jit
+    def dec_chain(params, y, y_lengths):
+        y_mask = sequence_mask(y_lengths, y.shape[1]).astype(dtype)[..., None]
+
+        def body(acc, _):
+            z, logdet = decoder_fwd(
+                params["decoder"], (y + acc).astype(dtype), y_mask, hp.decoder
+            )
+            return (z.astype(jnp.float32).mean() * 1e-9).astype(jnp.float32), None
+
+        acc, _ = jax.lax.scan(body, jnp.zeros(()), None, length=iters)
+        return acc
+
+    @jax.jit
+    def fwd_chain(params, batch):
+        def body(acc, _):
+            (z, z_m, z_logs, logdet, z_mask), _, (_, logw, logw_) = forward_train(
+                params, hp, batch["x"], batch["x_lengths"],
+                batch["y"] + acc, batch["y_lengths"],
+                deterministic=True, compute_dtype=dtype,
+            )
+            loss = mle_loss(z, z_m, z_logs, logdet, z_mask) + duration_loss(
+                logw, logw_, batch["x_lengths"]
+            )
+            return loss * 1e-9, None
+
+        acc, _ = jax.lax.scan(body, jnp.zeros(()), None, length=iters)
+        return acc
+
+    _log("bench_breakdown: encoder...")
+    enc_ms = timed(enc_chain, params, batch["x"], batch["x_lengths"]) * 1e3
+    _log("bench_breakdown: flow decoder...")
+    dec_ms = timed(dec_chain, params, batch["y"], batch["y_lengths"]) * 1e3
+    _log("bench_breakdown: full forward+losses...")
+    fwd_ms = timed(fwd_chain, params, batch) * 1e3
+    return enc_ms, dec_ms, fwd_ms
+
+
 def bench_mas(rpc_base, b=32, t_x=128, t_y=640, iters=20, impl="scan"):
     import jax
     import jax.numpy as jnp
@@ -169,11 +272,21 @@ def main():
 
     step_time, frames_per_sec = bench_train(config, rpc_base)
     rtf, infer_time, infer_frames = bench_infer_rtf(config, rpc_base)
+    enc_ms, dec_ms, fwd_ms = bench_breakdown(config, rpc_base)
     mas_ms = bench_mas(rpc_base, impl="scan") * 1e3
     try:
         mas_pallas_ms = round(bench_mas(rpc_base, impl="pallas") * 1e3, 3)
     except Exception as exc:  # keep the bench line even if the kernel fails
         mas_pallas_ms = f"error: {type(exc).__name__}"
+
+    # MFU: analytic matmul/conv FLOPs per train step over chip peak bf16
+    from glow_tts_train_tpu.models import hyper_from_config
+    from glow_tts_train_tpu.utils.flops import training_flops
+
+    hp = hyper_from_config(config)
+    flops_per_step = training_flops(hp, b=32, t_x=128, t_y=640)
+    achieved = flops_per_step / step_time
+    peak, chip = chip_peak_bf16_flops()
 
     result = {
         "metric": "train_mel_frames_per_sec_per_chip",
@@ -184,12 +297,25 @@ def main():
             "train_step_time_ms": round(step_time * 1e3, 2),
             "train_batch": 32,
             "train_frames_per_batch": 32 * 640,
+            "mfu": round(achieved / peak, 4),
+            "achieved_tflops": round(achieved / 1e12, 2),
+            "chip": chip,
+            "chip_peak_bf16_tflops": peak / 1e12,
+            "train_flops_per_step_tf": round(flops_per_step / 1e12, 3),
+            "breakdown_ms": {
+                "encoder_fwd": round(enc_ms, 2),
+                "flow_decoder_fwd": round(dec_ms, 2),
+                "mas_scan": round(mas_ms, 3),
+                "full_fwd_with_losses": round(fwd_ms, 2),
+                "bwd_plus_optimizer": round(step_time * 1e3 - fwd_ms, 2),
+            },
             "infer_rtf_batch1": round(rtf, 5),
             "infer_time_s": round(infer_time, 4),
             "infer_frames": infer_frames,
             "mas_scan_ms_b32_128x640": round(mas_ms, 3),
             "mas_pallas_ms_b32_128x640": mas_pallas_ms,
             "rpc_baseline_ms": round(rpc_base * 1e3, 2),
+            "vs_round1_throughput": round(frames_per_sec / 693135.0, 3),
             "precision": "bf16 compute / fp32 params",
         },
     }

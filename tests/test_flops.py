@@ -1,0 +1,54 @@
+"""Sanity checks on the analytic FLOP accounting used for MFU (bench.py)."""
+
+from glow_tts_train_tpu.config import ModelConfig, TrainingConfig
+from glow_tts_train_tpu.models import hyper_from_config
+from glow_tts_train_tpu.utils.flops import (
+    alignment_flops,
+    decoder_forward_flops,
+    encoder_forward_flops,
+    forward_flops,
+    training_flops,
+)
+
+
+def base_hp():
+    return hyper_from_config(TrainingConfig(model=ModelConfig(num_symbols=256)))
+
+
+def test_flow_decoder_dominates_base_model():
+    """At the bench shape the 12-block flow decoder carries ~85% of the
+    FLOPs — the documented optimization target (VERDICT r1)."""
+    hp = base_hp()
+    enc = encoder_forward_flops(hp, 32, 128)
+    dec = decoder_forward_flops(hp, 32, 640)
+    assert dec > 5 * enc
+    total = forward_flops(hp, 32, 128, 640)
+    assert 0.8 < dec / total < 0.95
+
+
+def test_flops_scale_linearly_in_batch_and_time():
+    hp = base_hp()
+    assert forward_flops(hp, 64, 128, 640) == 2 * forward_flops(hp, 32, 128, 640)
+    assert decoder_forward_flops(hp, 32, 1280) == (
+        2 * decoder_forward_flops(hp, 32, 640)
+    )
+    assert alignment_flops(hp, 32, 256, 640) == 2 * alignment_flops(hp, 32, 128, 640)
+
+
+def test_training_flops_account_for_remat():
+    hp = base_hp()
+    assert hp.remat
+    fwd = forward_flops(hp, 32, 128, 640)
+    train = training_flops(hp, 32, 128, 640)
+    # fwd + 2x fwd (backward) + flow recompute
+    assert train > 3 * fwd
+    no_remat = hp._replace(remat=False)
+    assert training_flops(no_remat, 32, 128, 640) == 3 * fwd
+
+
+def test_base_model_magnitude():
+    """Glow-TTS base at b=32, 128x640 is ~0.5 TF forward (hand-derived);
+    guard against unit slips (MACs vs FLOPs, squeeze factors)."""
+    hp = base_hp()
+    fwd = forward_flops(hp, 32, 128, 640)
+    assert 3e11 < fwd < 8e11
