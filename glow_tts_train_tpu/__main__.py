@@ -69,9 +69,10 @@ def main():
     )
     parser.add_argument(
         "--mas-impl",
-        default="scan",
-        choices=("scan", "pallas"),
-        help="Monotonic alignment search implementation",
+        default="auto",
+        choices=("auto", "scan", "pallas"),
+        help="Monotonic alignment search implementation (auto: pick the "
+        "measured winner per batch shape — see BASELINE.md)",
     )
     parser.add_argument(
         "--profile-dir",

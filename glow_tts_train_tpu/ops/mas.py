@@ -48,9 +48,18 @@ def maximum_path(
     construction (the reference runs it under no_grad and detaches the path,
     models.py:362-382), so gradients are stopped at the inputs here — this
     also keeps autodiff from trying to JVP through the Pallas kernel.
+
+    ``impl="auto"`` picks the faster implementation for the (static) shape
+    from the measured v5e crossover (scripts/mas-sweep.py, BASELINE.md):
+    the fused Pallas kernel wins 4.8-80x below ~1M cells where the scan's
+    per-column dispatch overhead dominates, and the two are within noise
+    (0.98-1.0x) above it where both are bound by the sequential column
+    recurrence itself.
     """
     logp = jax.lax.stop_gradient(logp)
     mask = jax.lax.stop_gradient(mask)
+    if impl == "auto":
+        impl = auto_impl(*logp.shape)
     if impl == "scan":
         return _maximum_path_scan(logp, mask)
     if impl == "pallas":
@@ -58,6 +67,20 @@ def maximum_path(
 
         return maximum_path_pallas(logp, mask)
     raise ValueError(f"unknown MAS impl: {impl}")
+
+
+# measured crossover (v5e, scripts/mas-sweep.py): pallas >=4.8x faster at
+# b*t_x*t_y <= 524k, parity at >= 2.6M cells
+_AUTO_PALLAS_MAX_CELLS = 1_000_000
+
+
+def auto_impl(b: int, t_x: int, t_y: int) -> str:
+    """Implementation choice for a given static shape (see maximum_path)."""
+    if b * t_x * t_y > _AUTO_PALLAS_MAX_CELLS:
+        return "scan"
+    from .mas_pallas import _pick_chunk
+
+    return "pallas" if _pick_chunk(b, t_x, t_y) is not None else "scan"
 
 
 @jax.jit

@@ -17,8 +17,13 @@ batch 8-64, t_x 32-384 phonemes, t_y 128-2600 frames (30s+ utterances).
 import json
 import sys
 import time
+from pathlib import Path
 
 import numpy as np
+
+# self-contained path setup: do NOT use PYTHONPATH for TPU work here — the
+# axon plugin fails to register when PYTHONPATH is set (env quirk)
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def measure(impl, b, t_x, t_y, iters, rpc_base):

@@ -106,3 +106,28 @@ def test_extreme_negative_logp(impl):
         rows = got[i].argmax(0)
         assert (np.diff(rows) >= 0).all() and (np.diff(rows) <= 1).all()
         np.testing.assert_array_equal(got[i].sum(0), np.ones(t_y))
+
+
+def test_auto_impl_selection_and_equivalence():
+    """impl='auto' picks pallas below the measured ~1M-cell crossover and
+    scan above it (scripts/mas-sweep.py, BASELINE.md), and the path is
+    identical either way."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from glow_tts_train_tpu.ops import mas
+
+    assert mas.auto_impl(8, 64, 256) == "pallas"
+    assert mas.auto_impl(32, 64, 256) == "pallas"
+    assert mas.auto_impl(32, 128, 640) == "scan"
+    assert mas.auto_impl(8, 384, 2600) == "scan"
+    # awkward tilings fall back to scan even when small
+    assert mas.auto_impl(3, 64, 256) in ("scan", "pallas")
+
+    rng = np.random.default_rng(9)
+    logp = jnp.asarray(rng.standard_normal((8, 16, 40)), jnp.float32)
+    mask = jnp.ones((8, 16, 40), jnp.float32)
+    p_auto = mas.maximum_path(logp, mask, impl="auto")
+    p_scan = mas.maximum_path(logp, mask, impl="scan")
+    np.testing.assert_array_equal(np.asarray(p_auto), np.asarray(p_scan))
