@@ -294,11 +294,14 @@ def encoder_apply(
     rng: typing.Optional[jax.Array] = None,
     deterministic: bool = True,
     unroll: bool = False,
+    remat: bool = False,
 ) -> jnp.ndarray:
     """x: [b, t, c]; x_mask: [b, t, 1].
 
     ``unroll``: python-loop the layers instead of lax.scan (~5% faster on
-    v5e, 3.5x slower compile — see flows.DecoderHyper.unroll)."""
+    v5e, 3.5x slower compile — see flows.DecoderHyper.unroll).
+    ``remat``: recompute layer activations in backward instead of storing
+    them (same HBM-traffic trade as the flow blocks, flows.decoder_fwd)."""
     attn_mask = (x_mask[:, :, 0][:, None, :] * x_mask[:, :, 0][:, :, None])
     use_rng = rng if rng is not None else jax.random.PRNGKey(0)
 
@@ -334,6 +337,9 @@ def encoder_apply(
         y = dropout(r4, y, p_dropout, deterministic)
         x = layer_norm(x + y, layer_params["norm_2"])
         return (x, i + 1), None
+
+    if remat:
+        layer = jax.checkpoint(layer)
 
     carry = (x, jnp.int32(0))
     if unroll:
