@@ -235,7 +235,9 @@ def wn_apply(
 
     g_all = None
     if g is not None:
-        g_all = conv1d(g, params["cond"])  # [b, 1, 2*h*n_layers]
+        # match the activation dtype: f32 conditioning would promote the
+        # whole gated stack (and the flow scan carry) out of bf16
+        g_all = conv1d(g, params["cond"]).astype(x.dtype)  # [b, 1, 2*h*n_l]
 
     for i in range(n_layers):
         dilation = dilation_rate ** i

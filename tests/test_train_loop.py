@@ -68,3 +68,22 @@ def test_train_loop_checkpoints_and_metrics(tmp_path):
     )
     assert int(resumed.step) == 7
     assert (tmp_path / "resumed" / "checkpoint_7.npz").exists()
+
+
+def test_multispeaker_bf16_train_step():
+    """Regression: f32 speaker conditioning must not promote the bf16 flow
+    scan carry (broke multispeaker fp16_run training: 'carry input and
+    carry output must have equal types')."""
+    import jax.numpy as jnp
+
+    config = tiny_config(n_speakers=3, gin_channels=8)
+    config.fp16_run = True
+    rng = np.random.default_rng(3)
+    batch = random_batch(config, rng, multispeaker=True)
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    assert "speaker_ids" in batch
+
+    state = training.create_state(config, jax.random.PRNGKey(0))
+    step_fn = training.make_train_step(config, donate=False)
+    state, metrics = step_fn(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
