@@ -91,6 +91,20 @@ def main():
     parser.add_argument("--num-processes", type=int)
     parser.add_argument("--process-id", type=int)
     parser.add_argument(
+        "--platform",
+        default="auto",
+        choices=("auto", "cpu", "tpu"),
+        help="Force the JAX backend (cpu runs anywhere; combine with "
+        "--virtual-devices to exercise the multi-chip path without chips)",
+    )
+    parser.add_argument(
+        "--virtual-devices",
+        type=int,
+        help="With --platform cpu: present N virtual devices "
+        "(XLA_FLAGS=--xla_force_host_platform_device_count=N); the mesh, "
+        "sharding, and collectives run exactly as on an N-chip slice",
+    )
+    parser.add_argument(
         "--debug", action="store_true", help="Print DEBUG messages to the console"
     )
     args = parser.parse_args()
@@ -98,8 +112,26 @@ def main():
     logging.basicConfig(level=logging.DEBUG if args.debug else logging.INFO)
     _LOGGER.debug(args)
 
+    if args.virtual_devices:
+        import os
+
+        flags = [
+            f
+            for f in os.environ.get("XLA_FLAGS", "").split()
+            if "xla_force_host_platform_device_count" not in f
+        ]
+        flags.append(
+            f"--xla_force_host_platform_device_count={args.virtual_devices}"
+        )
+        os.environ["XLA_FLAGS"] = " ".join(flags)
+
     # Heavy imports after arg parsing so --help is fast
     import jax
+
+    if args.platform != "auto":
+        # the env's TPU plugin ignores JAX_PLATFORMS; the config knob works
+        # when set before the backend initializes
+        jax.config.update("jax_platforms", args.platform)
 
     # Multi-host rendezvous: the GSPMD replacement for the reference's
     # torch.distributed.launch + NCCL process group (__main__.py:83-88).
