@@ -6,14 +6,22 @@ Prints ONE JSON line:
    "unit": "frames/sec", "vs_baseline": null, ...}
 
 The reference publishes no numbers (BASELINE.md) — vs_baseline is null and
-this harness *is* the baseline record.  Extra fields (step time, inference
-RTF, MAS latency) ride along for BENCH_r{N}.json history.
+this harness *is* the baseline record.  Extra fields (step time, MFU,
+per-stage breakdown, inference RTF, MAS latency) ride along for
+BENCH_r{N}.json history.
 
-Methodology: remote/tunneled TPU backends add a ~30 ms RPC round-trip to
-every host fetch and make block_until_ready a no-op, so naive per-dispatch
-timing is garbage.  Every benchmark here chains K iterations ON DEVICE
-(lax.scan with a data dependency), fetches one scalar, and subtracts the
-measured RPC baseline.
+Methodology: remote/tunneled TPU backends add a large, *variable* RPC
+round-trip (~30-60 ms observed) to every host fetch, so naive per-dispatch
+timing — and even constant-baseline subtraction — is garbage: a separately
+measured baseline can exceed the device time of a small benchmark and
+produce negative numbers.  Every benchmark here therefore chains K
+iterations ON DEVICE (lax.scan with a data dependency) at TWO chain lengths
+and reports the difference quotient
+
+    per_iter = (t(K_large) - t(K_small)) / (K_large - K_small)
+
+which cancels the constant per-call overhead exactly; each length is timed
+min-of-R to suppress tunnel jitter.
 """
 
 import json
@@ -28,19 +36,46 @@ def _log(msg):
 
 
 def measure_rpc_baseline(reps=10):
+    """Round-trip cost of one trivial dispatch+fetch (diagnostic only —
+    nothing is subtracted; see module docstring)."""
     import jax
     import jax.numpy as jnp
 
     triv = jax.jit(lambda x: x + 1.0)
     z = jnp.zeros(())
     float(triv(z))
-    start = time.perf_counter()
+    times = []
     for _ in range(reps):
+        start = time.perf_counter()
         float(triv(z))
-    return (time.perf_counter() - start) / reps
+        times.append(time.perf_counter() - start)
+    return min(times)
 
 
-def bench_train(config, rpc_base, b=32, t_x=128, t_y=640, iters=10, mas_impl="scan"):
+def time_chain(build, iters_small, iters_large, repeats=3):
+    """Per-iteration seconds for an on-device iteration chain.
+
+    ``build(n)`` returns a zero-arg callable that runs an n-iteration chain
+    and blocks on a scalar fetch.  Times both lengths min-of-``repeats`` and
+    returns the difference quotient (constant RPC/dispatch overhead cancels).
+    """
+    run_small, run_large = build(iters_small), build(iters_large)
+    run_small()  # compile
+    run_large()
+
+    def best(run):
+        times = []
+        for _ in range(repeats):
+            start = time.perf_counter()
+            run()
+            times.append(time.perf_counter() - start)
+        return min(times)
+
+    t_small, t_large = best(run_small), best(run_large)
+    return max(t_large - t_small, 0.0) / (iters_large - iters_small)
+
+
+def bench_train(config, b=32, t_x=128, t_y=640, mas_impl="auto"):
     import jax
     import jax.numpy as jnp
 
@@ -55,32 +90,31 @@ def bench_train(config, rpc_base, b=32, t_x=128, t_y=640, iters=10, mas_impl="sc
         k: jax.device_put(jnp.asarray(v))
         for k, v in _synthetic_batch(config, b=b, t_x=t_x, t_y=t_y).items()
     }
-
-    @jax.jit
-    def run_steps(state, batch, rng):
-        def body(st, i):
-            st, metrics = step_fn(st, batch, jax.random.fold_in(rng, i))
-            return st, metrics["loss"]
-
-        _, losses = jax.lax.scan(body, state, jnp.arange(iters))
-        return losses
-
     rng = jax.random.key(1, impl=config.prng_impl)
-    _log("bench_train: compiling...")
-    losses = run_steps(state, batch, rng)
-    loss = float(losses[-1])
-    assert np.isfinite(loss), loss
-    _log("bench_train: timing...")
-    start = time.perf_counter()
-    losses = run_steps(state, batch, rng)
-    float(losses[-1])
-    elapsed = time.perf_counter() - start - rpc_base
 
-    step_time = elapsed / iters
+    def build(n):
+        @jax.jit
+        def run_steps(state, batch, rng):
+            def body(st, i):
+                st, metrics = step_fn(st, batch, jax.random.fold_in(rng, i))
+                return st, metrics["loss"]
+
+            _, losses = jax.lax.scan(body, state, jnp.arange(n))
+            return losses
+
+        def run():
+            losses = run_steps(state, batch, rng)
+            loss = float(losses[-1])
+            assert np.isfinite(loss), loss
+
+        return run
+
+    _log("bench_train: compiling + timing...")
+    step_time = time_chain(build, 8, 24)
     return step_time, b * t_y / step_time
 
 
-def bench_infer_rtf(config, rpc_base, t_x=128, y_max=1024, iters=10):
+def bench_infer_rtf(config, t_x=128, y_max=1024):
     """Batch-1 inference real-time factor at 22050 Hz / hop 256."""
     import jax
     import jax.numpy as jnp
@@ -97,30 +131,33 @@ def bench_infer_rtf(config, rpc_base, t_x=128, y_max=1024, iters=10):
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.integers(1, config.model.num_symbols, (1, t_x)), jnp.int32)
     x_lengths = jnp.asarray([t_x], jnp.int32)
+    key = jax.random.PRNGKey(2)
+    frames_out = {}
 
-    @jax.jit
-    def gen_chain(params, x, x_lengths, key):
-        def body(carry, i):
-            out = forward_gen(
-                params, hp, x, x_lengths, y_max_length=y_max,
-                noise_rng=jax.random.fold_in(key, i), noise_scale=0.333,
-            )
-            y, y_lengths = out[0][0], out[3]
-            return carry + y[0, 0, 0] * 1e-9, y_lengths[0]
+    def build(n):
+        @jax.jit
+        def gen_chain(params, x, x_lengths, key):
+            def body(carry, i):
+                out = forward_gen(
+                    params, hp, x, x_lengths, y_max_length=y_max,
+                    noise_rng=jax.random.fold_in(key, i), noise_scale=0.333,
+                )
+                y, y_lengths = out[0][0], out[3]
+                return carry + y[0, 0, 0] * 1e-9, y_lengths[0]
 
-        acc, lens = jax.lax.scan(body, jnp.zeros(()), jnp.arange(iters))
-        return acc, lens
+            acc, lens = jax.lax.scan(body, jnp.zeros(()), jnp.arange(n))
+            return acc, lens
 
-    _log("bench_infer: compiling...")
-    acc, lens = gen_chain(params, x, x_lengths, jax.random.PRNGKey(2))
-    float(acc)
-    _log("bench_infer: timing...")
-    start = time.perf_counter()
-    acc, lens = gen_chain(params, x, x_lengths, jax.random.PRNGKey(2))
-    float(acc)
-    elapsed = (time.perf_counter() - start - rpc_base) / iters
+        def run():
+            acc, lens = gen_chain(params, x, x_lengths, key)
+            float(acc)
+            frames_out["frames"] = float(np.asarray(lens)[0])
 
-    frames = float(np.asarray(lens)[0])
+        return run
+
+    _log("bench_infer: compiling + timing...")
+    elapsed = time_chain(build, 10, 30)
+    frames = frames_out["frames"]
     audio_seconds = frames * config.audio.hop_length / config.audio.sample_rate
     return elapsed / max(audio_seconds, 1e-9), elapsed, frames
 
@@ -142,7 +179,7 @@ def chip_peak_bf16_flops():
     return 197e12, f"{jax.devices()[0].device_kind} (unknown; assuming v5e peak)"
 
 
-def bench_breakdown(config, rpc_base, b=32, t_x=128, t_y=640, iters=10):
+def bench_breakdown(config, b=32, t_x=128, t_y=640):
     """Chained per-stage timings so the step budget is attributable:
     encoder forward, flow-decoder forward, and the full forward+losses.
     (MAS is timed separately by bench_mas; backward+optimizer is the
@@ -171,89 +208,96 @@ def bench_breakdown(config, rpc_base, b=32, t_x=128, t_y=640, iters=10):
     }
     dtype = jnp.bfloat16 if config.fp16_run else jnp.float32
 
-    def timed(chain_fn, *args):
-        out = chain_fn(*args)  # compile
-        float(out)
-        start = time.perf_counter()
-        float(chain_fn(*args))
-        return (time.perf_counter() - start - rpc_base) / iters
+    def build_enc(n):
+        @jax.jit
+        def chain(params, x, x_lengths):
+            def body(acc, _):
+                x_dep = x + acc.astype(jnp.int32)  # serialize iterations
+                x_m, _, _, _ = encoder_forward(
+                    params, hp, x_dep, x_lengths, compute_dtype=dtype
+                )
+                return (x_m.astype(jnp.float32).mean() * 1e-9).astype(
+                    jnp.float32
+                ), None
 
-    @jax.jit
-    def enc_chain(params, x, x_lengths):
-        def body(acc, _):
-            x_dep = x + acc.astype(jnp.int32)  # serialize iterations
-            x_m, x_logs, logw, _ = encoder_forward(
-                params, hp, x_dep, x_lengths, compute_dtype=dtype
-            )
-            return (x_m.astype(jnp.float32).mean() * 1e-9).astype(jnp.float32), None
+            acc, _ = jax.lax.scan(body, jnp.zeros(()), None, length=n)
+            return acc
 
-        acc, _ = jax.lax.scan(body, jnp.zeros(()), None, length=iters)
-        return acc
+        return lambda: float(chain(params, batch["x"], batch["x_lengths"]))
 
-    @jax.jit
-    def dec_chain(params, y, y_lengths):
-        y_mask = sequence_mask(y_lengths, y.shape[1]).astype(dtype)[..., None]
+    def build_dec(n):
+        y_mask = sequence_mask(batch["y_lengths"], t_y).astype(dtype)[..., None]
 
-        def body(acc, _):
-            z, logdet = decoder_fwd(
-                params["decoder"], (y + acc).astype(dtype), y_mask, hp.decoder
-            )
-            return (z.astype(jnp.float32).mean() * 1e-9).astype(jnp.float32), None
+        @jax.jit
+        def chain(params, y):
+            def body(acc, _):
+                z, _ = decoder_fwd(
+                    params["decoder"], (y + acc).astype(dtype), y_mask, hp.decoder
+                )
+                return (z.astype(jnp.float32).mean() * 1e-9).astype(
+                    jnp.float32
+                ), None
 
-        acc, _ = jax.lax.scan(body, jnp.zeros(()), None, length=iters)
-        return acc
+            acc, _ = jax.lax.scan(body, jnp.zeros(()), None, length=n)
+            return acc
 
-    @jax.jit
-    def fwd_chain(params, batch):
-        def body(acc, _):
-            (z, z_m, z_logs, logdet, z_mask), _, (_, logw, logw_) = forward_train(
-                params, hp, batch["x"], batch["x_lengths"],
-                batch["y"] + acc, batch["y_lengths"],
-                deterministic=True, compute_dtype=dtype,
-            )
-            loss = mle_loss(z, z_m, z_logs, logdet, z_mask) + duration_loss(
-                logw, logw_, batch["x_lengths"]
-            )
-            return loss * 1e-9, None
+        return lambda: float(chain(params, batch["y"]))
 
-        acc, _ = jax.lax.scan(body, jnp.zeros(()), None, length=iters)
-        return acc
+    def build_fwd(n):
+        @jax.jit
+        def chain(params, batch):
+            def body(acc, _):
+                (z, z_m, z_logs, logdet, z_mask), _, (_, logw, logw_) = (
+                    forward_train(
+                        params, hp, batch["x"], batch["x_lengths"],
+                        batch["y"] + acc, batch["y_lengths"],
+                        deterministic=True, compute_dtype=dtype,
+                    )
+                )
+                loss = mle_loss(z, z_m, z_logs, logdet, z_mask) + duration_loss(
+                    logw, logw_, batch["x_lengths"]
+                )
+                return loss * 1e-9, None
+
+            acc, _ = jax.lax.scan(body, jnp.zeros(()), None, length=n)
+            return acc
+
+        return lambda: float(chain(params, batch))
 
     _log("bench_breakdown: encoder...")
-    enc_ms = timed(enc_chain, params, batch["x"], batch["x_lengths"]) * 1e3
+    enc_ms = time_chain(build_enc, 30, 90) * 1e3
     _log("bench_breakdown: flow decoder...")
-    dec_ms = timed(dec_chain, params, batch["y"], batch["y_lengths"]) * 1e3
+    dec_ms = time_chain(build_dec, 30, 90) * 1e3
     _log("bench_breakdown: full forward+losses...")
-    fwd_ms = timed(fwd_chain, params, batch) * 1e3
+    fwd_ms = time_chain(build_fwd, 15, 45) * 1e3
     return enc_ms, dec_ms, fwd_ms
 
 
-def bench_mas(rpc_base, b=32, t_x=128, t_y=640, iters=20, impl="scan"):
+def bench_mas(b=32, t_x=128, t_y=640, impl="scan"):
     import jax
     import jax.numpy as jnp
 
     from glow_tts_train_tpu.ops import mas
 
     rng = np.random.default_rng(0)
-    logp = jnp.asarray(rng.standard_normal((b, t_x, t_y)), jnp.float32)
-    mask = jnp.ones((b, t_x, t_y), jnp.float32)
+    logp_host = rng.standard_normal((b, t_x, t_y)).astype(np.float32)
+    logp = jax.device_put(jnp.asarray(logp_host))
+    mask = jax.device_put(jnp.ones((b, t_x, t_y), jnp.float32))
 
-    @jax.jit
-    def chain(logp, mask):
-        def body(lp, _):
-            p = mas.maximum_path(lp, mask, impl=impl)
-            return lp + p * 1e-6, None
+    def build(n):
+        @jax.jit
+        def chain(logp, mask):
+            def body(lp, _):
+                p = mas.maximum_path(lp, mask, impl=impl)
+                return lp + p * 1e-6, None
 
-        lp, _ = jax.lax.scan(body, logp, None, length=iters)
-        return lp
+            lp, _ = jax.lax.scan(body, logp, None, length=n)
+            return lp
 
-    _log(f"bench_mas[{impl}]: compiling...")
-    r = chain(logp, mask)
-    float(r[0, 0, 0])
-    start = time.perf_counter()
-    r = chain(logp, mask)
-    float(r[0, 0, 0])
-    return (time.perf_counter() - start - rpc_base) / iters
+        return lambda: float(chain(logp, mask)[0, 0, 0])
+
+    _log(f"bench_mas[{impl}]: compiling + timing...")
+    return time_chain(build, 20, 60)
 
 
 def main():
@@ -268,14 +312,14 @@ def main():
     config = _base_config()  # Glow-TTS base, bf16
 
     rpc_base = measure_rpc_baseline()
-    _log(f"rpc baseline: {rpc_base * 1e3:.2f} ms")
+    _log(f"rpc baseline (diagnostic): {rpc_base * 1e3:.2f} ms")
 
-    step_time, frames_per_sec = bench_train(config, rpc_base)
-    rtf, infer_time, infer_frames = bench_infer_rtf(config, rpc_base)
-    enc_ms, dec_ms, fwd_ms = bench_breakdown(config, rpc_base)
-    mas_ms = bench_mas(rpc_base, impl="scan") * 1e3
+    step_time, frames_per_sec = bench_train(config)
+    rtf, infer_time, infer_frames = bench_infer_rtf(config)
+    enc_ms, dec_ms, fwd_ms = bench_breakdown(config)
+    mas_ms = bench_mas(impl="scan") * 1e3
     try:
-        mas_pallas_ms = round(bench_mas(rpc_base, impl="pallas") * 1e3, 3)
+        mas_pallas_ms = round(bench_mas(impl="pallas") * 1e3, 3)
     except Exception as exc:  # keep the bench line even if the kernel fails
         mas_pallas_ms = f"error: {type(exc).__name__}"
 
@@ -315,6 +359,7 @@ def main():
             "mas_scan_ms_b32_128x640": round(mas_ms, 3),
             "mas_pallas_ms_b32_128x640": mas_pallas_ms,
             "rpc_baseline_ms": round(rpc_base * 1e3, 2),
+            "timing_method": "two-length chain difference, min-of-3",
             "vs_round1_throughput": round(frames_per_sec / 693135.0, 3),
             "precision": "bf16 compute / fp32 params",
         },
