@@ -130,12 +130,15 @@ class TrainingConfig:
     # Data-parallel mesh axis name.
     mesh_axis: str = "data"
     # Iterate encoder layers / flow blocks as an unrolled Python loop (True)
-    # or a lax.scan (False).  Interleaved A/B on v5e: unroll is ~5% faster
-    # but compiles 3.5x slower; scan is the default.
+    # or a lax.scan (False).  Round-2 A/B on v5e with RPC-jitter-immune
+    # timing: unroll is 10-15% SLOWER (34.2 vs 29.8 ms/step at b=32) and
+    # compiles 3.5x longer — scan is the default and the measured winner.
     unroll_blocks: bool = False
     # Rematerialize flow-block activations in backward (jax.checkpoint):
-    # ~9% faster step on v5e (recompute beats storing residuals).
-    remat_blocks: bool = True
+    # True/"full" recomputes whole blocks (~9% faster step on v5e — recompute
+    # beats storing residuals), "dots" stores conv/matmul outputs and
+    # recomputes only elementwise ops, False/"none" stores everything.
+    remat_blocks: typing.Union[bool, str] = True
     # Checkpoint artifact format: "npz" (single portable file) or "orbax"
     # (directory; async, multi-host-safe, per-shard arrays — use at pod scale).
     checkpoint_format: str = "npz"

@@ -343,9 +343,15 @@ class DecoderHyper(typing.NamedTuple):
     """Static hyperparameters of the flow decoder.
 
     ``unroll``: iterate the blocks as a Python loop (statically indexed
-    stacked params) instead of lax.scan.  Interleaved A/B on v5e measured
-    unroll ~5% faster per step at ~3.5x the compile time, so scan is the
-    default; flip for long production runs where compile amortizes.
+    stacked params) instead of lax.scan.  Round-2 A/B on v5e (RPC-jitter-
+    immune timing) measured unroll 10-15% slower per step at ~3.5x the
+    compile time — scan is the default and the measured winner.
+
+    ``remat``: activation rematerialization strategy for the backward pass.
+    True/"full" recomputes each block (stores only block inputs — minimal
+    HBM traffic); "dots" stores matmul/conv outputs and recomputes only
+    elementwise ops (jax.checkpoint_policies.dots_saveable — fewer recompute
+    FLOPs, more HBM); False/"none" stores everything.
     """
 
     in_channels: int
@@ -360,7 +366,7 @@ class DecoderHyper(typing.NamedTuple):
     sigmoid_scale: bool = False
     gin_channels: int = 0
     unroll: bool = False
-    remat: bool = True
+    remat: typing.Union[bool, str] = True
 
 
 def decoder_init(rng: jax.Array, hp: DecoderHyper) -> Params:
@@ -423,11 +429,15 @@ def decoder_fwd(
         )
         return (x, logdet_tot + ld1 + ld2 + ld3, i + 1), None
 
-    if hp.remat:
+    if hp.remat and hp.remat != "none":
         # recompute block activations (incl. dropout masks — the rng replay
         # reproduces them) in backward instead of storing 12 blocks'
-        # residuals: ~9% faster step on v5e, HBM-traffic bound
-        block = jax.checkpoint(_block_body)
+        # residuals: ~9% faster step on v5e, HBM-traffic bound.  "dots"
+        # keeps conv/matmul outputs and recomputes only elementwise ops.
+        policy = (
+            jax.checkpoint_policies.dots_saveable if hp.remat == "dots" else None
+        )
+        block = jax.checkpoint(_block_body, policy=policy)
 
     b = x.shape[0]
     carry = (x, jnp.zeros((b,), jnp.float32), jnp.int32(0))

@@ -87,3 +87,23 @@ def test_multispeaker_bf16_train_step():
     step_fn = training.make_train_step(config, donate=False)
     state, metrics = step_fn(state, batch, jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_remat_strategies_numerically_identical():
+    """remat_blocks full/dots/none select how backward gets activations
+    (recompute vs stored) — the train-step result must be bit-comparable
+    across all three (same graph, same values, fp32 on CPU)."""
+    import dataclasses
+
+    rng = np.random.default_rng(5)
+    losses, grad_norms = [], []
+    for remat in (True, "dots", "none"):
+        config = dataclasses.replace(tiny_config(), remat_blocks=remat)
+        batch = random_batch(config, np.random.default_rng(7))
+        state = training.create_state(config, jax.random.PRNGKey(0))
+        step_fn = training.make_train_step(config, donate=False)
+        state, metrics = step_fn(state, batch, jax.random.PRNGKey(1))
+        losses.append(float(metrics["loss"]))
+        grad_norms.append(float(metrics["grad_norm"]))
+    assert np.allclose(losses, losses[0], rtol=0, atol=1e-5), losses
+    assert np.allclose(grad_norms, grad_norms[0], rtol=1e-5), grad_norms
