@@ -373,3 +373,57 @@ def test_mean_only_false_parity(reference_models):
         np.asarray(logdet_j), logdet_t.numpy(), atol=1e-3, rtol=1e-5
     )
     np.testing.assert_array_equal(np.asarray(attn_j), attn_t.numpy()[:, 0])
+
+
+def test_finetune_from_reference_pth(reference_models, tmp_path):
+    """The fine-tuning workflow on a published reference checkpoint: save a
+    reference-format .pth ({model: state_dict, global_step, learning_rate,
+    version}, checkpoint.py:38-46 in the reference), load it through
+    load_checkpoint, and take a real training step from the imported state —
+    step counter continues from the checkpoint, loss is finite, params move."""
+    from glow_tts_train_tpu import training
+    from glow_tts_train_tpu.checkpoint import load_checkpoint
+    from glow_tts_train_tpu.optimize import make_optimizer
+
+    import jax.flatten_util
+
+    config = tiny_config()
+    ref, _ = build_pair(reference_models, config)
+    pth_path = tmp_path / "checkpoint_570000.pth"
+    torch.save(
+        {
+            "model": ref.state_dict(),
+            "global_step": 570000,
+            "learning_rate": 2.4e-4,
+            "version": 1,
+        },
+        pth_path,
+    )
+
+    ckpt = load_checkpoint(pth_path, config)
+    assert ckpt.global_step == 570000
+    assert ckpt.opt_state is None  # torch Adam state is not importable
+
+    tx = make_optimizer(config)
+    flat0 = jax.flatten_util.ravel_pytree(ckpt.params)[0]
+    state = training.TrainState(
+        ckpt.params,
+        jax.jit(tx.init)(flat0),
+        jnp.asarray(ckpt.global_step, jnp.int32),
+    )
+    batch = {
+        k: jnp.asarray(v)
+        for k, v in zip(
+            ("x", "x_lengths", "y", "y_lengths"),
+            make_inputs(config),
+        )
+    }
+    batch["x"] = batch["x"].astype(jnp.int32)
+    batch["y"] = jnp.transpose(batch["y"], (0, 2, 1))  # [b, t, c]
+
+    step_fn = training.make_train_step(config, donate=False)
+    new_state, metrics = step_fn(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(new_state.step) == 570001
+    flat1 = jax.flatten_util.ravel_pytree(new_state.params)[0]
+    assert float(jnp.max(jnp.abs(flat1 - flat0))) > 0
