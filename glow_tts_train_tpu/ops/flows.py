@@ -22,6 +22,7 @@ import typing
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .conv import (
     conv1d,
@@ -126,22 +127,45 @@ def invconv_init(rng: jax.Array, n_split: int = 4) -> Params:
     return {"weight": w}
 
 
-def _invconv_regroup(x: jnp.ndarray, n_split: int) -> jnp.ndarray:
-    """[b, t, c] -> [b, t, s, c//s] with the reference's channel grouping
-    (layers.py:247-252): split channels in half, interleave."""
-    b, t, c = x.shape
+def _invconv_selectors(c: int, n_split: int):
+    """Static one-hot selectors for the reference's channel regrouping
+    (layers.py:247-252): channels viewed as [2, c//s, s//2] (split in half,
+    interleave), outer half-split + inner interleave folded into one group
+    axis of size s.  Derived from the reshape strides so the mapping cannot
+    drift from the view it replaces:
+    a = ch // (c//2), q = (ch % (c//2)) // (s//2), r = ch % (s//2);
+    group = a*(s//2) + r.
+
+    Returns (S, QQT): S [c, s] one-hot group selector, QQT [c, c] 0/1 mask
+    of same-within-group-position channel pairs."""
     s = n_split
-    x = x.reshape(b, t, 2, c // s, s // 2)
-    x = x.transpose(0, 1, 2, 4, 3)  # [b, t, 2, s//2, c//s]
-    return x.reshape(b, t, s, c // s)
+    ch = np.arange(c)
+    a = ch // (c // 2)  # outer half (reshape dim of size 2)
+    q = (ch % (c // 2)) // (s // 2)  # within-group coordinate (size c//s)
+    r = ch % (s // 2)  # inner interleave (reshape dim of size s//2)
+    group = a * (s // 2) + r
+    sel = np.zeros((c, s), np.float32)
+    sel[ch, group] = 1.0
+    qqt = (q[:, None] == q[None, :]).astype(np.float32)
+    return sel, qqt
 
 
-def _invconv_ungroup(z: jnp.ndarray, c: int, n_split: int) -> jnp.ndarray:
-    """Inverse of _invconv_regroup (layers.py:270-271)."""
-    b, t, s, _ = z.shape
-    z = z.reshape(b, t, 2, s // 2, c // s)
-    z = z.transpose(0, 1, 2, 4, 3)  # [b, t, 2, c//s, s//2]
-    return z.reshape(b, t, c)
+def _invconv_dense(weight: jnp.ndarray, c: int, n_split: int) -> jnp.ndarray:
+    """Expand the s x s group-mixing matrix to the equivalent dense [c, c]
+    channel map M = P^T (W (x) I_{c/s}) P = (S @ W @ S^T) * QQT.
+
+    The reference applies W over a grouped view of the channels
+    (layers.py:247-252: reshape -> transpose -> 1x1 conv -> undo).  Those
+    per-block reshapes break the TPU's 128-lane tiling ([.., 2, c/s, s/2]
+    puts 2-wide axes in the lanes) and showed up as ~10% of the train step
+    in the profile.  One dense [c, c] matmul on the original layout is the
+    same linear map, MXU-aligned, with zero data movement.  M is built from
+    static one-hot selectors with two tiny matmuls — a [c, c] gather of W
+    would be ~20% of the step (TPU gathers are scalar-unit work; measured)."""
+    sel, qqt = _invconv_selectors(c, n_split)
+    sel = jnp.asarray(sel, weight.dtype)
+    m = sel @ weight @ sel.T
+    return m * jnp.asarray(qqt, weight.dtype)
 
 
 def invconv_apply(params: Params, x, x_mask, reverse: bool = False,
@@ -165,14 +189,19 @@ def invconv_apply(params: Params, x, x_mask, reverse: bool = False,
             sign, logabsdet = jnp.linalg.slogdet(w.astype(jnp.float32))
             logdet = logabsdet * (c / s) * x_len  # [b]
 
-    xg = _invconv_regroup(x, s)
-    # z[o, q] = sum_i W[o, i] x[i, q] — a tiny s×s mix over the group dim.
-    # precision=highest: on TPU the default matmul precision is bf16-ish,
-    # which would break exact invertibility; this contraction is tiny.
-    z = jnp.einsum(
-        "btiq,oi->btoq", xg, weight.astype(x.dtype), precision=jax.lax.Precision.HIGHEST
+    # z_d = sum_c M[d, c] x_c, M the dense expansion of the s x s mix.
+    # fp32 inputs (inference, parity) use precision=HIGHEST so the
+    # forward/inverse pair stays exact; bf16 training compute uses the
+    # single-pass MXU like every other matmul in the step (HIGHEST here
+    # forces multi-pass fp32 and costs ~25% of the step, measured).
+    m = _invconv_dense(weight.astype(jnp.float32), c, s).astype(x.dtype)
+    precision = (
+        jax.lax.Precision.HIGHEST
+        if x.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
     )
-    z = _invconv_ungroup(z, c, s) * x_mask
+    z = jnp.einsum("btc,dc->btd", x, m, precision=precision)
+    z = z * x_mask
     return z, logdet
 
 
