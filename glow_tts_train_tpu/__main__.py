@@ -245,13 +245,12 @@ def main():
     if args.checkpoint:
         _LOGGER.debug("Loading checkpoint from %s", args.checkpoint)
         ckpt = load_checkpoint(args.checkpoint, config)
-        import jax.flatten_util
         import jax.numpy as jnp
 
         opt_state = ckpt.opt_state
         if opt_state is None:
             tx = make_optimizer(config)
-            opt_state = tx.init(jax.flatten_util.ravel_pytree(ckpt.params)[0])
+            opt_state = jax.jit(tx.init)(ckpt.params)
         global_step = ckpt.global_step
         state = TrainState(ckpt.params, opt_state, jnp.asarray(global_step, jnp.int32))
         _LOGGER.info(
@@ -262,15 +261,12 @@ def main():
         )
     else:
         _LOGGER.info("Doing data-dependent initialization...")
-        import jax.flatten_util
         import jax.numpy as jnp
 
         first_batch = next(iter(pipeline.batches()))
         params = initialize_model(config, first_batch, mesh=mesh)
         tx = make_optimizer(config)
-        opt_state = jax.jit(
-            lambda p: tx.init(jax.flatten_util.ravel_pytree(p)[0])
-        )(params)
+        opt_state = jax.jit(tx.init)(params)
         state = TrainState(params, opt_state, jnp.asarray(1, jnp.int32))
 
     _LOGGER.info("Training started (batch size=%s)", batch_size)

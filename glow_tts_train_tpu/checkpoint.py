@@ -20,7 +20,6 @@ from dataclasses import dataclass
 from pathlib import Path
 
 import jax
-import jax.flatten_util
 import jax.numpy as jnp
 import numpy as np
 
@@ -231,10 +230,7 @@ def _load_orbax(path: Path, config: TrainingConfig, load_optimizer: bool) -> Che
     opt_state = None
     if load_optimizer:
         tx = make_optimizer(config)
-        flat, _ = jax.flatten_util.ravel_pytree(
-            jax.tree_util.tree_map(jnp.asarray, params)
-        )
-        opt_state = tx.init(flat)
+        opt_state = tx.init(jax.tree_util.tree_map(jnp.asarray, params))
         if "opt" in tree:
             fp_arr = tree["meta"].get("opt_treedef")
             fingerprint = (
@@ -294,11 +290,8 @@ def load_checkpoint(
     opt_state = None
     if load_optimizer:
         tx = make_optimizer(config)
-        # optimizer state is over the flat param vector (training.py)
-        flat, _ = jax.flatten_util.ravel_pytree(
-            jax.tree_util.tree_map(jnp.asarray, params)
-        )
-        opt_state = tx.init(flat)
+        # optimizer state mirrors the param tree (training.py)
+        opt_state = tx.init(jax.tree_util.tree_map(jnp.asarray, params))
         saved_opt = {
             k[len("opt/"):]: v for k, v in saved.items() if k.startswith("opt/")
         }

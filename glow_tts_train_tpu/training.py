@@ -5,7 +5,9 @@ Reference equivalents: `train.py` (epoch/step loops :21-162), `ddi.py`
 
 * ONE jit-compiled step — forward, losses, backward, clip, Adam update, and
   the Noam lr bump all fuse into a single XLA program; gradients average
-  across the mesh with compiler-inserted collectives (no DDP wrapper)
+  across the mesh with compiler-inserted collectives (no DDP wrapper);
+  the optimizer runs over the param tree (measured faster than a flattened
+  vector on v5e — see create_state)
 * bf16 compute / fp32 master params when ``config.fp16_run`` is set (the
   TPU replacement for torch AMP + GradScaler: bf16 has fp32's exponent range
   so no loss-scaling is needed)
@@ -21,7 +23,6 @@ from functools import partial
 from pathlib import Path
 
 import jax
-import jax.flatten_util
 import jax.numpy as jnp
 import optax
 
@@ -56,16 +57,12 @@ def create_state(
     params = init_model(rng, hp)
     tx = make_optimizer(config)
 
-    # The optimizer runs over ONE flat fp32 vector, not the param tree:
-    # clip/adam/schedule over ~400 small leaves costs hundreds of tiny
-    # kernels (~10ms/step measured on v5e); over a single 30M-float vector
-    # it is 3 fused kernels.  Flatten/unflatten are cheap HBM copies.
-    @jax.jit
-    def init_opt(params):
-        flat, _ = jax.flatten_util.ravel_pytree(params)
-        return tx.init(flat)
-
-    opt_state = init_opt(params)
+    # The optimizer runs directly over the param tree.  (Round 1 flattened
+    # params/grads into one fp32 vector; round-2 A/B with RPC-jitter-immune
+    # timing showed the tree update is 6% faster per step on v5e — XLA
+    # fuses the per-leaf elementwise chain fine, and the flat form paid
+    # ~2 ms/step in concat/split HBM copies.)
+    opt_state = jax.jit(tx.init)(params)
     return TrainState(params, opt_state, jnp.asarray(global_step, jnp.int32))
 
 
@@ -113,12 +110,9 @@ def make_train_step(
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, batch, rng
         )
-        # flat-vector optimizer: see create_state
-        flat_grads, _ = jax.flatten_util.ravel_pytree(grads)
-        flat_params, unravel = jax.flatten_util.ravel_pytree(state.params)
-        metrics["grad_norm"] = jnp.sqrt(jnp.sum(jnp.square(flat_grads)))
-        updates, opt_state = tx.update(flat_grads, state.opt_state, flat_params)
-        params = unravel(flat_params + updates)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1), metrics
 
     if mesh is None:

@@ -127,9 +127,7 @@ def test_opt_restore_refuses_changed_optimizer(tmp_path, caplog, monkeypatch):
         "discarding saved optimizer state" in r.message for r in caplog.records
     )
     # the returned state is the FRESH one for the new chain (count == 0)
-    fresh = reordered_optimizer(config).init(
-        jax.flatten_util.ravel_pytree(loaded.params)[0]
-    )
+    fresh = reordered_optimizer(config).init(loaded.params)
     assert jax.tree_util.tree_structure(loaded.opt_state) == (
         jax.tree_util.tree_structure(fresh)
     )

@@ -408,7 +408,7 @@ def test_finetune_from_reference_pth(reference_models, tmp_path):
     flat0 = jax.flatten_util.ravel_pytree(ckpt.params)[0]
     state = training.TrainState(
         ckpt.params,
-        jax.jit(tx.init)(flat0),
+        jax.jit(tx.init)(ckpt.params),
         jnp.asarray(ckpt.global_step, jnp.int32),
     )
     batch = {
