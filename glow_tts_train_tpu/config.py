@@ -146,6 +146,9 @@ class TrainingConfig:
     # TPU hardware generator (~15% faster train step than threefry on v5e);
     # "threefry2x32" gives bit-identical streams across shardings/backends.
     prng_impl: str = "rbg"
+    # Batches to prepare (mel loads, collate, H2D transfer) ahead of the
+    # device step on a background thread; 0 disables prefetch.
+    prefetch_batches: int = 2
 
     def to_dict(self) -> dict:
         d = dataclasses.asdict(self)

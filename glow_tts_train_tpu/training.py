@@ -66,6 +66,42 @@ def create_state(
     return TrainState(params, opt_state, jnp.asarray(global_step, jnp.int32))
 
 
+def _prefetch(iterable, prepare, size: int):
+    """Background-thread prefetch of prepared batches.
+
+    The reference's DataLoader (workers=0) collates synchronously between
+    steps; here a daemon thread pulls host batches and runs ``prepare``
+    (collate output -> sharded device arrays) up to ``size`` batches ahead,
+    so mel .npy reads, padding, and the H2D transfer overlap the device
+    step instead of serializing with it.  Exceptions propagate to the
+    consumer; iteration order is unchanged (device-side determinism is
+    unaffected — RNG folding keys off the step counter, not wall time)."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=max(size, 1))
+    sentinel = object()
+    errors = []
+
+    def worker():
+        try:
+            for item in iterable:
+                q.put(prepare(item))
+        except BaseException as exc:  # surface loader errors to the consumer
+            errors.append(exc)
+        finally:
+            q.put(sentinel)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            if errors:
+                raise errors[0]
+            return
+        yield item
+
+
 def make_train_step(
     config: TrainingConfig,
     mesh=None,
@@ -193,12 +229,18 @@ def train(
     for epoch in range(1, config.epochs + 1):
         epoch_start = time.perf_counter()
         epoch_metrics = []
-        for batch in batches():
+        epoch_batches = _prefetch(
+            batches(),
+            lambda b: shard_batch(b, mesh, config.mesh_axis),
+            size=config.prefetch_batches,
+        ) if config.prefetch_batches else (
+            shard_batch(b, mesh, config.mesh_axis) for b in batches()
+        )
+        for sharded in epoch_batches:
             if profile_dir is not None and steps_done == 5 and not profiling:
                 jax.profiler.start_trace(str(profile_dir))
                 profiling = True
             rng = jax.random.fold_in(base_rng, step)
-            sharded = shard_batch(batch, mesh, config.mesh_axis)
             with jax.profiler.StepTraceAnnotation("train_step", step_num=step):
                 state, metrics = step_fn(state, sharded, rng)
             epoch_metrics.append(metrics)

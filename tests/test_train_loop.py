@@ -107,3 +107,35 @@ def test_remat_strategies_numerically_identical():
         grad_norms.append(float(metrics["grad_norm"]))
     assert np.allclose(losses, losses[0], rtol=0, atol=1e-5), losses
     assert np.allclose(grad_norms, grad_norms[0], rtol=1e-5), grad_norms
+
+
+def test_prefetch_identical_to_synchronous(tmp_path):
+    """Background-thread batch prefetch must not change training results —
+    only overlap host work with the device step.  Two identical runs, one
+    with prefetch_batches=2 and one with 0, must produce the same per-epoch
+    losses and final params."""
+    import dataclasses
+
+    losses, finals = [], []
+    for prefetch in (2, 0):
+        config = dataclasses.replace(
+            tiny_config(), epochs=3, warmup_steps=10, prefetch_batches=prefetch
+        )
+        rng = np.random.default_rng(11)
+        all_batches = [random_batch(config, rng) for _ in range(3)]
+        metrics_path = tmp_path / f"metrics_{prefetch}.jsonl"
+        state = training.train(
+            lambda: iter(all_batches),
+            config,
+            tmp_path / f"model_{prefetch}",
+            training.create_state(config, jax.random.PRNGKey(0)),
+            checkpoint_epochs=100,  # no checkpoints needed
+            log_every=0,
+            metrics_path=metrics_path,
+        )
+        losses.append(
+            [json.loads(l)["avg_loss"] for l in metrics_path.read_text().splitlines()]
+        )
+        finals.append(jax.flatten_util.ravel_pytree(state.params)[0])
+    assert losses[0] == losses[1]
+    np.testing.assert_array_equal(np.asarray(finals[0]), np.asarray(finals[1]))
