@@ -6,6 +6,7 @@ import json
 import numpy as np
 
 import jax
+import jax.flatten_util
 
 from glow_tts_train_tpu import training
 from glow_tts_train_tpu.checkpoint import load_checkpoint
