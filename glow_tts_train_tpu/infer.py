@@ -130,12 +130,26 @@ def main():
         "--speaker", type=int, help="Speaker id number (multispeaker model only)"
     )
     parser.add_argument(
+        "--platform",
+        default="auto",
+        choices=("auto", "cpu", "tpu"),
+        help="Backend to synthesize on ('cpu' runs anywhere; 'auto' uses "
+        "the default backend)",
+    )
+    parser.add_argument(
         "--debug", action="store_true", help="Print DEBUG messages to the console"
     )
     args = parser.parse_args()
 
     logging.basicConfig(level=logging.DEBUG if args.debug else logging.INFO)
     _LOGGER.debug(args)
+
+    if args.platform != "auto":
+        # must land before any backend-initializing jax call (env
+        # JAX_PLATFORMS alone is ignored by some TPU plugins)
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     import numpy as np
 
