@@ -254,6 +254,19 @@ def main():
             if args.csv:
                 utt_id, line = line.split("|", maxsplit=1)
             phoneme_ids = [int(p) for p in line.split()]
+            bad = [p for p in phoneme_ids if not 0 <= p < config.model.num_symbols]
+            if bad:
+                # out-of-range ids would silently clamp in the embedding
+                # lookup (XLA gather semantics) and synthesize garbage —
+                # fail loudly like the reference's torch embedding would
+                _LOGGER.error(
+                    "phoneme ids %s out of range [0, %s) (id=%s); skipping — "
+                    "check --config/--num-symbols matches the phoneme inventory",
+                    bad,
+                    config.model.num_symbols,
+                    utt_id or "<no id>",
+                )
+                continue
             _LOGGER.debug("%s (id=%s)", phoneme_ids, utt_id)
             pending.append((utt_id, phoneme_ids))
             if len(pending) >= args.batch_size:
