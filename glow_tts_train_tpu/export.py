@@ -186,6 +186,10 @@ def main(argv=None):
 
     logging.basicConfig(level=logging.DEBUG if args.debug else logging.INFO)
 
+    from .utils.jaxcache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from .checkpoint import load_checkpoint
     from .config import TrainingConfig
     from .models import store_inverse

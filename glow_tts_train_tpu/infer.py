@@ -142,6 +142,10 @@ def main():
     args = parser.parse_args()
 
     logging.basicConfig(level=logging.DEBUG if args.debug else logging.INFO)
+
+    from .utils.jaxcache import enable_compilation_cache
+
+    enable_compilation_cache()
     _LOGGER.debug(args)
 
     if args.platform != "auto":

@@ -39,6 +39,10 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     logging.basicConfig(level=logging.DEBUG if args.debug else logging.INFO)
+
+    from .utils.jaxcache import enable_compilation_cache
+
+    enable_compilation_cache()
     run(
         args.model_dir,
         numpy_dir=args.numpy_dir,
