@@ -210,6 +210,9 @@ def main():
     except MissingMelsError as err:
         _LOGGER.fatal("%s (re-run with --skip-missing-mels to train anyway)", err)
         sys.exit(1)
+    except ValueError as err:  # e.g. mel channel count vs config mismatch
+        _LOGGER.fatal("%s", err)
+        sys.exit(1)
 
     # num_symbols auto-detection (fixes reference __main__.py:123 NameError)
     if config.model.num_symbols < 1:

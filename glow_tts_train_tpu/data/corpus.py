@@ -16,6 +16,8 @@ import logging
 import typing
 from pathlib import Path
 
+import numpy as np
+
 from .dataset import PhonemeMelDataset, UttKey, load_mels, load_phonemes
 
 _LOGGER = logging.getLogger("glow_tts_train_tpu.corpus")
@@ -55,6 +57,26 @@ def _npy_presence(
         target = present if (mels_dir / f"{utt_id}.npy").is_file() else absent
         target.add(utt_id)
     return present, absent
+
+
+def _source_mel_channels(src, per_utt, mels, mels_are_dirs):
+    """Channel count of one representative mel from a speaker source, or
+    None when the source has no utterances.  Directory sources read only
+    the .npy header."""
+    if not per_utt:
+        return None
+    utt_id = next(iter(per_utt))
+    if not mels_are_dirs:
+        mel = mels.get((src.speaker_idx, utt_id))
+        return None if mel is None else int(np.shape(mel)[0])
+    path = Path(src.mels_path) / (utt_id + ".npy")
+    with open(path, "rb") as f:
+        version = np.lib.format.read_magic(f)
+        if version == (1, 0):
+            shape, _, _ = np.lib.format.read_array_header_1_0(f)
+        else:
+            shape, _, _ = np.lib.format.read_array_header_2_0(f)
+    return int(shape[0])
 
 
 def build_dataset(
@@ -111,6 +133,18 @@ def build_dataset(
             n_mels,
             src.mels_path,
         )
+
+        # Channel-count check on one representative mel per source: a
+        # mismatch would otherwise surface steps later as an einsum shape
+        # error deep inside jit tracing, with no hint it's a data problem.
+        found = _source_mel_channels(src, per_utt, mels, mels_are_dirs)
+        expected = config.audio.mel_channels
+        if found is not None and found != expected:
+            raise ValueError(
+                f"speaker {src.speaker_idx}: mels in {src.mels_path} have "
+                f"{found} channels but the config says audio.mel_channels="
+                f"{expected} — fix the config or regenerate the mels"
+            )
 
     if multispeaker is None:
         multispeaker = len(sources) > 1

@@ -222,6 +222,7 @@ def test_corpus_build_dataset_and_num_symbols(tmp_path):
     np.save(npy_dir / "c.npy", rng.standard_normal((4, 7)).astype(np.float32))
 
     config = TrainingConfig()
+    config.audio.mel_channels = 4  # match the test mels (channel check)
     sources = [
         SpeakerSource(0, tmp_path / "s0.csv", tmp_path / "s0.jsonl"),
         SpeakerSource(1, tmp_path / "s1.csv", npy_dir),
@@ -246,3 +247,39 @@ def test_corpus_build_dataset_and_num_symbols(tmp_path):
     assert mel.shape == (4, 7) and speaker == 1
     assert detect_num_symbols(ds1) == 9
     assert detect_num_symbols(ds0) == 6
+
+
+def test_build_dataset_rejects_mel_channel_mismatch(tmp_path):
+    """Wrong audio.mel_channels vs the corpus must fail at dataset build
+    with a clear message, not steps later as an einsum shape error deep
+    inside jit tracing.  Both JSONL and .npy-directory sources."""
+    import json as _json
+
+    import pytest
+
+    from glow_tts_train_tpu.data import SpeakerSource, build_dataset
+    from helpers import tiny_config
+
+    config = tiny_config()  # audio.mel_channels == 8
+    rng = np.random.default_rng(0)
+
+    csv = tmp_path / "phonemes.csv"
+    csv.write_text("u0|3 5 7\nu1|2 4\n")
+
+    jsonl = tmp_path / "mels.jsonl"
+    with open(jsonl, "w") as f:
+        for u in ("u0", "u1"):
+            f.write(_json.dumps(
+                {"id": u, "mel": rng.standard_normal((16, 12)).tolist()}
+            ) + "\n")
+    with pytest.raises(ValueError, match="16 channels.*mel_channels=8"):
+        build_dataset([SpeakerSource(0, csv, jsonl)], config)
+
+    mels_dir = tmp_path / "mels"
+    mels_dir.mkdir()
+    for u in ("u0", "u1"):
+        np.save(mels_dir / f"{u}.npy", rng.standard_normal((16, 12)).astype(np.float32))
+    with pytest.raises(ValueError, match="16 channels.*mel_channels=8"):
+        build_dataset(
+            [SpeakerSource(0, csv, mels_dir)], config, mels_are_dirs=True
+        )
