@@ -17,7 +17,7 @@ native:
 	g++ -O3 -fopenmp -shared -fPIC native/mas.cpp -o native/build/libmas.so
 
 dist:
-	python -m pip wheel --no-deps -w dist .
+	python -m pip wheel --no-deps --no-build-isolation -w dist .
 
 clean:
 	rm -rf dist native/build .pytest_cache

@@ -316,7 +316,7 @@ def main():
 
     step_time, frames_per_sec = bench_train(config)
     # peak-throughput config: the chip is HBM/mixed-bound at b=32; b=128
-    # amortizes weight traffic better (+16% measured on v5e)
+    # amortizes weight traffic better (+5-16% across bench revisions)
     step_time_b128, frames_per_sec_b128 = bench_train(config, b=128)
     rtf, infer_time, infer_frames = bench_infer_rtf(config)
     enc_ms, dec_ms, fwd_ms = bench_breakdown(config)
