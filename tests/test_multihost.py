@@ -1,0 +1,134 @@
+"""TRUE multi-process distributed training through the real CLI: two
+OS processes rendezvous via jax.distributed (--coordinator), federate
+their CPU devices into one global mesh, and train with cross-process
+collectives (Gloo) — the CPU stand-in for a multi-host TPU pod.
+
+This is the test the reference never had (its DDP/NCCL path is untested,
+SURVEY §4): it exercises per-process data sharding
+(make_array_from_process_local_data), the cross-host-deterministic batch
+plan, chief-gated .npz writes, and the all-process orbax collective save.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def _write_corpus(tmp_path, n_utts=24):
+    rng = np.random.default_rng(0)
+    mels_dir = tmp_path / "mels"
+    mels_dir.mkdir()
+    with open(tmp_path / "phonemes.csv", "w") as f:
+        for i in range(n_utts):
+            utt = f"u{i:02d}"
+            n = int(rng.integers(4, 10))
+            f.write(f"{utt}|{' '.join(map(str, rng.integers(1, 20, n)))}\n")
+            mel = rng.standard_normal((8, int(rng.integers(2 * n + 2, 40))))
+            np.save(mels_dir / f"{utt}.npy", mel.astype(np.float32))
+    return mels_dir
+
+
+def _config(**overrides):
+    config = {
+        "epochs": 2,
+        "batch_size": 8,
+        "warmup_steps": 10,
+        "bucket_size_text": 8,
+        "bucket_size_mel": 16,
+        "audio": {"mel_channels": 8},
+        "model": {
+            "num_symbols": 20, "hidden_channels": 16, "filter_channels": 32,
+            "filter_channels_dp": 16, "n_blocks_dec": 2, "n_layers_enc": 2,
+            "n_block_layers": 2, "hidden_channels_enc": 16,
+            "hidden_channels_dec": 16,
+        },
+    }
+    config.update(overrides)
+    return config
+
+
+def _launch(tmp_path, mels_dir, port, proc_id, extra=()):
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env["XLA_FLAGS"] = " ".join(
+        fl
+        for fl in env.get("XLA_FLAGS", "").split()
+        if "xla_force_host_platform_device_count" not in fl
+    )
+    env["JAX_COMPILATION_CACHE_DIR"] = "/tmp/jax_test_cache"
+    return subprocess.Popen(
+        [
+            sys.executable, "-m", "glow_tts_train_tpu",
+            "--output", str(tmp_path / "model"),
+            "--dataset", "0", str(tmp_path / "phonemes.csv"), str(mels_dir),
+            "--mels-dir",
+            "--config", str(tmp_path / "config.json"),
+            "--platform", "cpu", "--virtual-devices", "2",
+            "--coordinator", f"localhost:{port}",
+            "--num-processes", "2", "--process-id", str(proc_id),
+            "--metrics-file", str(tmp_path / f"metrics_{proc_id}.jsonl"),
+            *extra,
+        ],
+        env=env,
+        stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT,
+        text=True,
+    )
+
+
+def test_two_process_train_cli(tmp_path):
+    mels_dir = _write_corpus(tmp_path)
+    with open(tmp_path / "config.json", "w") as f:
+        json.dump(_config(), f)
+
+    port = _free_port()
+    procs = [_launch(tmp_path, mels_dir, port, i) for i in (0, 1)]
+    outs = [p.communicate(timeout=420)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-3000:]
+
+    # chief-gated artifacts: exactly one process wrote them
+    model_dir = tmp_path / "model"
+    assert (model_dir / "checkpoint_7.npz").exists()
+    assert (model_dir / "config_7.json").exists()
+    metrics = [
+        json.loads(l)
+        for l in (tmp_path / "metrics_0.jsonl").read_text().splitlines()
+    ]
+    assert len(metrics) == 2 and all(
+        np.isfinite(m["avg_loss"]) for m in metrics
+    )
+    assert not (tmp_path / "metrics_1.jsonl").exists()  # chief-gated
+
+    # 24 utts / (8 per-process batch x 2 procs) = 1 global batch of 16 + drop
+    # -> "global step" advanced identically in both logs
+    for out in outs:
+        assert "Training finished" in out
+
+
+def test_two_process_orbax_collective_save(tmp_path):
+    """checkpoint_format=orbax saves are a cross-process collective (every
+    process writes its addressable shards) — run it with REAL processes."""
+    mels_dir = _write_corpus(tmp_path)
+    with open(tmp_path / "config.json", "w") as f:
+        json.dump(_config(checkpoint_format="orbax", epochs=1), f)
+
+    port = _free_port()
+    procs = [_launch(tmp_path, mels_dir, port, i) for i in (0, 1)]
+    outs = [p.communicate(timeout=420)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-3000:]
+
+    ckpts = list((tmp_path / "model").glob("checkpoint_*.orbax"))
+    assert len(ckpts) == 1, list((tmp_path / "model").iterdir())
+    assert (ckpts[0] / "model").exists() or any(ckpts[0].iterdir())
