@@ -20,5 +20,5 @@ dist:
 	python -m pip wheel --no-deps --no-build-isolation -w dist .
 
 clean:
-	rm -rf dist native/build .pytest_cache
+	rm -rf dist build *.egg-info native/build .pytest_cache
 	find . -name __pycache__ -type d -exec rm -rf {} +

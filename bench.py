@@ -336,12 +336,16 @@ def main():
     peak, chip = chip_peak_bf16_flops()
 
     peak_fps = max(frames_per_sec, frames_per_sec_b128)
+    headline_batch = 32 if frames_per_sec >= frames_per_sec_b128 else 128
     result = {
         "metric": "train_mel_frames_per_sec_per_chip",
         "value": round(peak_fps, 1),
         "unit": "frames/sec",
         "vs_baseline": None,  # reference publishes no numbers (BASELINE.md)
         "extras": {
+            # the headline value is the better of the two measured batch
+            # sizes; per-shape numbers below are each internally consistent
+            "headline_batch": headline_batch,
             "train_step_time_ms": round(step_time * 1e3, 2),
             "train_batch": 32,
             "train_frames_per_batch": 32 * 640,

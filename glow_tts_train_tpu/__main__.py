@@ -151,6 +151,7 @@ def main():
     from .config import TrainingConfig
     from .data import (
         DataPipeline,
+        CorpusError,
         MissingMelsError,
         SpeakerSource,
         build_dataset,
@@ -210,7 +211,7 @@ def main():
     except MissingMelsError as err:
         _LOGGER.fatal("%s (re-run with --skip-missing-mels to train anyway)", err)
         sys.exit(1)
-    except ValueError as err:  # e.g. mel channel count vs config mismatch
+    except CorpusError as err:  # e.g. mel channel count vs config mismatch
         _LOGGER.fatal("%s", err)
         sys.exit(1)
 

@@ -135,6 +135,52 @@ def _merge_into(fresh: Params, saved: typing.Dict[str, np.ndarray]) -> Params:
     return merged
 
 
+def _migrate_flat_opt_state(fresh_opt_state, saved):
+    """Convert a legacy flat-vector optimizer state to the tree form.
+
+    Until round 2 the optimizer ran over one raveled fp32 vector, so saved
+    Adam moments are single flat arrays under ``1/mu`` / ``1/nu`` (chain
+    position 1 = scale_by_adam) with counts at ``1/count`` / ``2/count``.
+    The flat layout is exactly ``ravel_pytree`` order of the param tree, so
+    the moments split losslessly onto the tree leaves.  Returns None when
+    ``saved`` is not a flat-form state (caller falls back to fresh)."""
+    if not {"1/mu", "1/nu", "1/count"} <= set(saved):
+        return None
+    flat_mu, flat_nu = saved["1/mu"], saved["1/nu"]
+    if flat_mu.ndim != 1 or flat_nu.ndim != 1:
+        return None
+
+    flat_with_path = jax.tree_util.tree_flatten_with_path(fresh_opt_state)[0]
+    treedef = jax.tree_util.tree_structure(fresh_opt_state)
+    leaves = []
+    offsets = {"mu": 0, "nu": 0}
+    total = {"mu": flat_mu.size, "nu": flat_nu.size}
+    sources = {"mu": flat_mu, "nu": flat_nu}
+    for path, leaf in flat_with_path:
+        parts = [_path_elem(p) for p in path]
+        moment = parts[1] if len(parts) >= 2 and parts[0] == "1" else None
+        if moment in ("mu", "nu"):
+            size = int(np.prod(np.shape(leaf), dtype=np.int64))
+            start = offsets[moment]
+            if start + size > total[moment]:
+                return None  # param count changed — not migratable
+            chunk = sources[moment][start : start + size]
+            leaves.append(
+                chunk.reshape(np.shape(leaf)).astype(np.asarray(leaf).dtype)
+            )
+            offsets[moment] = start + size
+        elif parts and parts[-1] == "count":
+            key = "/".join(parts)
+            if key not in saved:
+                return None
+            leaves.append(saved[key].astype(np.asarray(leaf).dtype))
+        else:
+            leaves.append(leaf)  # stateless transforms (clip)
+    if offsets["mu"] != total["mu"] or offsets["nu"] != total["nu"]:
+        return None  # leftover elements — param count changed
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
 def _restore_opt_state(
     fresh_opt_state,
     saved: typing.Dict[str, np.ndarray],
@@ -178,6 +224,13 @@ def _restore_opt_state(
         )
 
     if fingerprint != _opt_fingerprint(fresh_opt_state):
+        migrated = _migrate_flat_opt_state(fresh_opt_state, saved)
+        if migrated is not None:
+            _LOGGER.info(
+                "migrated legacy flat-vector optimizer state to tree form "
+                "(Adam moments and schedule count preserved)"
+            )
+            return migrated
         return fresh("optimizer structure changed since save")
     if set(saved) != set(paths):
         return fresh("optimizer state keys do not match")

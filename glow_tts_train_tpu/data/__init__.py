@@ -1,6 +1,7 @@
 """Data loading: phoneme CSVs, JSONL / .npy mels, length-bucketed batching."""
 
 from .corpus import (  # noqa: F401
+    CorpusError,
     MissingMelsError,
     SpeakerSource,
     build_dataset,

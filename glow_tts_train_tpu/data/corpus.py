@@ -32,6 +32,10 @@ class SpeakerSource:
     mels_path: Path  # JSONL file, or a directory of <utt_id>.npy files
 
 
+class CorpusError(ValueError):
+    """A corpus inconsistency the user must fix (clear one-line message)."""
+
+
 class MissingMelsError(RuntimeError):
     """Raised when .npy mels are absent and skipping is not allowed."""
 
@@ -140,7 +144,7 @@ def build_dataset(
         found = _source_mel_channels(src, per_utt, mels, mels_are_dirs)
         expected = config.audio.mel_channels
         if found is not None and found != expected:
-            raise ValueError(
+            raise CorpusError(
                 f"speaker {src.speaker_idx}: mels in {src.mels_path} have "
                 f"{found} channels but the config says audio.mel_channels="
                 f"{expected} — fix the config or regenerate the mels"

@@ -458,6 +458,10 @@ def decoder_fwd(
         )
         return (x, logdet_tot + ld1 + ld2 + ld3, i + 1), None
 
+    assert hp.remat in (True, False, "full", "dots", "none"), (
+        f"remat_blocks must be true/false/'full'/'dots'/'none', got "
+        f"{hp.remat!r}"
+    )
     if hp.remat and hp.remat != "none":
         # recompute block activations (incl. dropout masks — the rng replay
         # reproduces them) in backward instead of storing 12 blocks'

@@ -81,25 +81,44 @@ def _prefetch(iterable, prepare, size: int):
 
     q: "queue.Queue" = queue.Queue(maxsize=max(size, 1))
     sentinel = object()
+    stop = threading.Event()
     errors = []
+
+    def put(item) -> bool:
+        """Bounded put that gives up when the consumer is gone — a plain
+        q.put would park this thread forever on a full queue (and pin the
+        prepared device batches) if the train loop exits early."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for item in iterable:
-                q.put(prepare(item))
+                if not put(prepare(item)):
+                    return
         except BaseException as exc:  # surface loader errors to the consumer
             errors.append(exc)
         finally:
-            q.put(sentinel)
+            put(sentinel)
 
     threading.Thread(target=worker, daemon=True).start()
-    while True:
-        item = q.get()
-        if item is sentinel:
-            if errors:
-                raise errors[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if errors:
+                    raise errors[0]
+                return
+            yield item
+    finally:
+        # consumer exiting early (exception in the step, generator close):
+        # release the worker so it drops its references and terminates
+        stop.set()
 
 
 def make_train_step(

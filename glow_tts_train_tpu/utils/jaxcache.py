@@ -28,7 +28,8 @@ def enable_compilation_cache() -> None:
     try:
         Path(cache_dir).mkdir(parents=True, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
-        # cache even quick compiles: CLI restarts pay dozens of them
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # cache even sub-second compiles: CLI restarts pay dozens of them
+        # (the default threshold of 1.0s would skip most of them)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     except Exception as exc:  # unwritable home, read-only fs — run uncached
         _LOGGER.debug("compilation cache disabled (%s)", exc)

@@ -187,3 +187,63 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
     assert abs(loaded.learning_rate - 0.005) < 1e-9
     _tree_equal(loaded.params, state.params)
     _tree_equal(loaded.opt_state, state.opt_state)
+
+
+def test_legacy_flat_opt_state_migrates(tmp_path, caplog):
+    """Checkpoints written before the round-2 optimizer-form switch hold
+    Adam state over ONE raveled fp32 vector; loading them must unravel the
+    moments onto the param tree (same ravel order) instead of discarding
+    them — a silent Adam/schedule restart mid-run regresses training."""
+    import logging
+
+    import jax.flatten_util
+    import optax
+
+    from glow_tts_train_tpu.optimize import make_optimizer
+    from glow_tts_train_tpu.training import create_state
+
+    config = tiny_config()
+    state = create_state(config, jax.random.PRNGKey(0))
+    tx = make_optimizer(config)
+
+    # simulate the legacy form: optimizer state over the flat vector, with
+    # recognizable moment values and a non-zero schedule count
+    flat, unravel = jax.flatten_util.ravel_pytree(state.params)
+    legacy = tx.init(flat)
+    legacy = jax.tree_util.tree_map(jnp.asarray, legacy)
+    rng = np.random.default_rng(3)
+    mu = rng.standard_normal(flat.shape[0]).astype(np.float32)
+    nu = np.abs(rng.standard_normal(flat.shape[0])).astype(np.float32)
+    legacy = (
+        legacy[0],
+        legacy[1]._replace(
+            count=jnp.asarray(123, jnp.int32),
+            mu=jnp.asarray(mu),
+            nu=jnp.asarray(nu),
+        ),
+        legacy[2]._replace(count=jnp.asarray(123, jnp.int32)),
+    )
+
+    path = tmp_path / "legacy.npz"
+    save_checkpoint(
+        Checkpoint(
+            params=state.params,
+            opt_state=legacy,
+            learning_rate=1e-4,
+            global_step=124,
+            version=1,
+        ),
+        path,
+    )
+
+    with caplog.at_level(logging.INFO):
+        loaded = load_checkpoint(path, config)
+    assert any("migrated legacy flat-vector" in r.message for r in caplog.records)
+
+    # moments landed on the tree in ravel order; counts preserved
+    assert int(loaded.opt_state[1].count) == 123
+    assert int(loaded.opt_state[2].count) == 123
+    mu_flat = jax.flatten_util.ravel_pytree(loaded.opt_state[1].mu)[0]
+    nu_flat = jax.flatten_util.ravel_pytree(loaded.opt_state[1].nu)[0]
+    np.testing.assert_allclose(np.asarray(mu_flat), mu, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(nu_flat), nu, rtol=1e-6)

@@ -24,6 +24,27 @@ def _free_port():
         return s.getsockname()[1]
 
 
+def _run_pair(tmp_path, mels_dir, extra=(), attempts=2):
+    """Launch the 2-process rendezvous; retry once with a fresh port if the
+    coordinator port was sniped between _free_port() releasing it and
+    jax.distributed binding it (inherent TOCTOU of port picking)."""
+    for attempt in range(attempts):
+        port = _free_port()
+        procs = [
+            _launch(tmp_path, mels_dir, port, i, extra=extra) for i in (0, 1)
+        ]
+        outs = [p.communicate(timeout=420)[0] for p in procs]
+        if all(p.returncode == 0 for p in procs):
+            return outs
+        bind_race = any(
+            "ddress" in out or "bind" in out.lower() for out in outs
+        )
+        if not (bind_race and attempt + 1 < attempts):
+            for p, out in zip(procs, outs):
+                assert p.returncode == 0, out[-3000:]
+    raise AssertionError("unreachable")
+
+
 def _write_corpus(tmp_path, n_utts=24):
     rng = np.random.default_rng(0)
     mels_dir = tmp_path / "mels"
@@ -91,11 +112,7 @@ def test_two_process_train_cli(tmp_path):
     with open(tmp_path / "config.json", "w") as f:
         json.dump(_config(), f)
 
-    port = _free_port()
-    procs = [_launch(tmp_path, mels_dir, port, i) for i in (0, 1)]
-    outs = [p.communicate(timeout=420)[0] for p in procs]
-    for p, out in zip(procs, outs):
-        assert p.returncode == 0, out[-3000:]
+    outs = _run_pair(tmp_path, mels_dir)
 
     # chief-gated artifacts: exactly one process wrote them
     model_dir = tmp_path / "model"
@@ -123,11 +140,7 @@ def test_two_process_orbax_collective_save(tmp_path):
     with open(tmp_path / "config.json", "w") as f:
         json.dump(_config(checkpoint_format="orbax", epochs=1), f)
 
-    port = _free_port()
-    procs = [_launch(tmp_path, mels_dir, port, i) for i in (0, 1)]
-    outs = [p.communicate(timeout=420)[0] for p in procs]
-    for p, out in zip(procs, outs):
-        assert p.returncode == 0, out[-3000:]
+    _run_pair(tmp_path, mels_dir)
 
     ckpts = list((tmp_path / "model").glob("checkpoint_*.orbax"))
     assert len(ckpts) == 1, list((tmp_path / "model").iterdir())

@@ -140,3 +140,22 @@ def test_prefetch_identical_to_synchronous(tmp_path):
         finals.append(jax.flatten_util.ravel_pytree(state.params)[0])
     assert losses[0] == losses[1]
     np.testing.assert_array_equal(np.asarray(finals[0]), np.asarray(finals[1]))
+
+
+def test_prefetch_worker_terminates_on_early_exit():
+    """Abandoning the prefetch generator mid-epoch (exception in the train
+    loop) must release the worker thread — not leave it parked forever on a
+    full queue holding prepared batches."""
+    import threading
+    import time as _time
+
+    from glow_tts_train_tpu.training import _prefetch
+
+    before = threading.active_count()
+    gen = _prefetch(iter(range(100)), lambda x: x * 2, size=2)
+    assert next(gen) == 0
+    gen.close()  # what an exception propagating through the loop does
+    deadline = _time.time() + 5
+    while threading.active_count() > before and _time.time() < deadline:
+        _time.sleep(0.05)
+    assert threading.active_count() <= before
