@@ -18,7 +18,13 @@ from pathlib import Path
 
 import numpy as np
 
-from .dataset import PhonemeMelDataset, UttKey, load_mels, load_phonemes
+from .dataset import (
+    PhonemeMelDataset,
+    UttKey,
+    load_mels,
+    load_phonemes,
+    read_npy_shape,
+)
 
 _LOGGER = logging.getLogger("glow_tts_train_tpu.corpus")
 
@@ -73,14 +79,7 @@ def _source_mel_channels(src, per_utt, mels, mels_are_dirs):
     if not mels_are_dirs:
         mel = mels.get((src.speaker_idx, utt_id))
         return None if mel is None else int(np.shape(mel)[0])
-    path = Path(src.mels_path) / (utt_id + ".npy")
-    with open(path, "rb") as f:
-        version = np.lib.format.read_magic(f)
-        if version == (1, 0):
-            shape, _, _ = np.lib.format.read_array_header_1_0(f)
-        else:
-            shape, _, _ = np.lib.format.read_array_header_2_0(f)
-    return int(shape[0])
+    return int(read_npy_shape(Path(src.mels_path) / (utt_id + ".npy"))[0])
 
 
 def build_dataset(
@@ -148,6 +147,28 @@ def build_dataset(
                 f"speaker {src.speaker_idx}: mels in {src.mels_path} have "
                 f"{found} channels but the config says audio.mel_channels="
                 f"{expected} — fix the config or regenerate the mels"
+            )
+
+        # Phoneme-id range check when num_symbols is preset: out-of-range
+        # ids would silently clamp in the embedding gather and train the
+        # wrong symbol (the infer CLI rejects the same ids loudly).
+        n_sym = config.model.num_symbols
+        if n_sym >= 1 and per_utt:
+            corpus_max = max(int(np.max(p)) for p in per_utt.values() if len(p))
+            if corpus_max >= n_sym:
+                raise CorpusError(
+                    f"speaker {src.speaker_idx}: {src.phonemes_path} contains "
+                    f"phoneme id {corpus_max} but the config says "
+                    f"model.num_symbols={n_sym} (valid ids are 0..{n_sym - 1})"
+                )
+
+        # Speaker-id range check: ids index the speaker embedding, and an
+        # out-of-range row would silently clamp onto the last speaker.
+        n_speakers = config.model.n_speakers
+        if n_speakers > 1 and not 0 <= src.speaker_idx < n_speakers:
+            raise CorpusError(
+                f"--dataset speaker id {src.speaker_idx} out of range "
+                f"[0, {n_speakers}) for this model (speaker ids are 0-based)"
             )
 
     if multispeaker is None:

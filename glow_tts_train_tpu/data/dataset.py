@@ -144,15 +144,20 @@ class PhonemeMelDataset:
             speaker_idx, utt_id = utt_key
             mels_dir = self.mel_dirs.get(speaker_idx)
             assert mels_dir, f"Missing mel for id {utt_id}, but no mels_dir"
-            with open(Path(mels_dir) / (utt_id + ".npy"), "rb") as f:
-                version = np.lib.format.read_magic(f)
-                if version == (1, 0):
-                    shape, _, _ = np.lib.format.read_array_header_1_0(f)
-                else:
-                    shape, _, _ = np.lib.format.read_array_header_2_0(f)
-            length = int(shape[1])
+            length = int(read_npy_shape(Path(mels_dir) / (utt_id + ".npy"))[1])
         self._mel_lengths[utt_key] = length
         return length
+
+
+def read_npy_shape(path) -> tuple:
+    """Array shape from a .npy header without loading the data."""
+    with open(path, "rb") as f:
+        version = np.lib.format.read_magic(f)
+        if version == (1, 0):
+            shape, _, _ = np.lib.format.read_array_header_1_0(f)
+        else:
+            shape, _, _ = np.lib.format.read_array_header_2_0(f)
+    return shape
 
 
 def _round_up(n: int, multiple: int) -> int:
@@ -217,6 +222,11 @@ def collate(
 class DataPipeline:
     """Epoch batch iterator: shuffling, optional length-bucketing, drop_last,
     and per-host sharding.
+
+    ``drop_last=False`` (library use only — the CLI always drops) can yield
+    a final partial batch; that is fine on a single device but will not
+    device_put under a batch-sharded mesh whose device count does not
+    divide the remainder — keep drop_last=True when training on a mesh.
 
     Multi-host determinism: every host computes the identical GLOBAL batch
     plan from the shared seed and the corpus metadata (text lengths are in

@@ -44,13 +44,23 @@ META_NAME = "export_meta.json"
 FORMATS = ("stablehlo", "savedmodel", "onnx")
 
 
-def build_infer_fn(params, config, max_frames: int):
-    """The inference graph with params closed over (exported as constants)."""
+def build_infer_fn(params, config, max_frames: int, speaker: int = 0):
+    """The inference graph with params closed over (exported as constants).
+
+    Multispeaker models bake the given ``speaker`` id into the artifact
+    (the exported signature has no speaker input — reference
+    export_onnx.py:73-86 — so one artifact per voice)."""
     import jax
+    import jax.numpy as jnp
 
     from .models import forward_gen, hyper_from_config
 
     hp = hyper_from_config(config)
+    g_ids = (
+        jnp.full((1,), speaker, jnp.int32)
+        if config.model.n_speakers > 1
+        else None
+    )
 
     def infer_fn(text, text_lengths, scales, seed):
         noise_scale = scales[0]
@@ -64,6 +74,7 @@ def build_infer_fn(params, config, max_frames: int):
             noise_rng=jax.random.PRNGKey(seed),
             noise_scale=noise_scale,
             length_scale=length_scale,
+            g_ids=g_ids,
         )
         (y, _, _, _), _, _, y_lengths = out
         # [1, t, n_mel] -> [1, n_mel, t] (ONNX output layout)
@@ -72,13 +83,15 @@ def build_infer_fn(params, config, max_frames: int):
     return infer_fn
 
 
-def export_model(params, config, max_text_length: int, max_frames: int) -> bytes:
+def export_model(
+    params, config, max_text_length: int, max_frames: int, speaker: int = 0
+) -> bytes:
     """Build + serialize the StableHLO inference graph."""
     import jax
     import jax.numpy as jnp
     from jax import export as jax_export
 
-    infer_fn = build_infer_fn(params, config, max_frames)
+    infer_fn = build_infer_fn(params, config, max_frames, speaker=speaker)
     args_spec = (
         jax.ShapeDtypeStruct((1, max_text_length), jnp.int32),
         jax.ShapeDtypeStruct((1,), jnp.int32),
@@ -93,12 +106,14 @@ def export_model(params, config, max_text_length: int, max_frames: int) -> bytes
     return exported.serialize()
 
 
-def _tf_function(params, config, max_text_length: int, max_frames: int):
+def _tf_function(
+    params, config, max_text_length: int, max_frames: int, speaker: int = 0
+):
     """The inference graph as a tf.function (shared by savedmodel + onnx)."""
     import tensorflow as tf
     from jax.experimental import jax2tf
 
-    infer_fn = build_infer_fn(params, config, max_frames)
+    infer_fn = build_infer_fn(params, config, max_frames, speaker=speaker)
     return tf.function(
         jax2tf.convert(infer_fn, with_gradient=False),
         input_signature=[
@@ -112,13 +127,16 @@ def _tf_function(params, config, max_text_length: int, max_frames: int):
 
 
 def export_savedmodel(
-    params, config, max_text_length: int, max_frames: int, output_dir: Path
+    params, config, max_text_length: int, max_frames: int, output_dir: Path,
+    speaker: int = 0,
 ) -> None:
     """Write a TensorFlow SavedModel — the graph fully out of JAX."""
     import tensorflow as tf
 
     module = tf.Module()
-    module.infer = _tf_function(params, config, max_text_length, max_frames)
+    module.infer = _tf_function(
+        params, config, max_text_length, max_frames, speaker=speaker
+    )
     tf.saved_model.save(
         module,
         str(output_dir),
@@ -127,7 +145,8 @@ def export_savedmodel(
 
 
 def export_onnx(
-    params, config, max_text_length: int, max_frames: int, output_dir: Path
+    params, config, max_text_length: int, max_frames: int, output_dir: Path,
+    speaker: int = 0,
 ) -> None:
     """Write a true .onnx (via tf2onnx) — or fail with a clear message."""
     try:
@@ -142,7 +161,9 @@ def export_onnx(
         )
     import tf2onnx
 
-    tf_fn = _tf_function(params, config, max_text_length, max_frames)
+    tf_fn = _tf_function(
+        params, config, max_text_length, max_frames, speaker=speaker
+    )
     import tensorflow as tf
 
     model_proto, _ = tf2onnx.convert.from_function(
@@ -181,6 +202,12 @@ def main(argv=None):
     parser.add_argument(
         "--max-frames", type=int, default=2048, help="Static mel frame budget"
     )
+    parser.add_argument(
+        "--speaker",
+        type=int,
+        help="Multispeaker models: speaker id to bake into the artifact "
+        "(the exported signature has no speaker input; default 0)",
+    )
     parser.add_argument("--debug", action="store_true")
     args = parser.parse_args(argv)
 
@@ -206,6 +233,13 @@ def main(argv=None):
         config.model.num_symbols = args.num_symbols
     assert config.model.num_symbols > 0, "Number of symbols not set"
 
+    n_speakers = config.model.n_speakers
+    if args.speaker is not None and n_speakers <= 1:
+        parser.error("--speaker requires a multispeaker model config")
+    speaker = args.speaker or 0
+    if n_speakers > 1 and not 0 <= speaker < n_speakers:
+        parser.error(f"--speaker {speaker} out of range [0, {n_speakers})")
+
     checkpoint = load_checkpoint(args.checkpoint, config, load_optimizer=False)
     _LOGGER.info(
         "Loaded checkpoint from %s (global step=%s)",
@@ -218,16 +252,19 @@ def main(argv=None):
 
     if args.format == "stablehlo":
         serialized = export_model(
-            params, config, args.max_text_length, args.max_frames
+            params, config, args.max_text_length, args.max_frames,
+            speaker=speaker,
         )
         (args.output / ARTIFACT_NAME).write_bytes(serialized)
     elif args.format == "savedmodel":
         export_savedmodel(
-            params, config, args.max_text_length, args.max_frames, args.output
+            params, config, args.max_text_length, args.max_frames, args.output,
+            speaker=speaker,
         )
     else:
         export_onnx(
-            params, config, args.max_text_length, args.max_frames, args.output
+            params, config, args.max_text_length, args.max_frames, args.output,
+            speaker=speaker,
         )
 
     with open(args.output / "config.json", "w") as config_file:
@@ -239,6 +276,7 @@ def main(argv=None):
                 "max_text_length": args.max_text_length,
                 "max_frames": args.max_frames,
                 "global_step": checkpoint.global_step,
+                "speaker": speaker if n_speakers > 1 else None,
             },
             meta_file,
             indent=2,

@@ -16,8 +16,6 @@ TODO), ``--batch-size`` synthesizes multiple stdin lines per device pass.
 """
 
 import argparse
-import dataclasses
-import json
 import logging
 import sys
 import time
@@ -205,7 +203,16 @@ def main():
         config.model.num_symbols > 0
     ), "Number of symbols not set (did you forget --config or --num-symbols?)"
 
-    output_obj = {"id": "", "audio": dataclasses.asdict(config.audio), "mel": []}
+    if args.speaker is not None:
+        # an out-of-range id would silently clamp onto the last speaker's
+        # embedding; a single-speaker model has no speaker table at all
+        if config.model.n_speakers <= 1:
+            parser.error("--speaker requires a multispeaker model config")
+        if not 0 <= args.speaker < config.model.n_speakers:
+            parser.error(
+                f"--speaker {args.speaker} out of range "
+                f"[0, {config.model.n_speakers})"
+            )
 
     start_time = time.perf_counter()
     checkpoint = load_checkpoint(args.checkpoint, config, load_optimizer=False)
@@ -225,52 +232,14 @@ def main():
         params, config, noise_scale=args.noise_scale, length_scale=args.length_scale
     )
 
-    import os
+    from .utils.stdio import make_emitter, stdin_utterances
 
-    try:
-        interactive = os.isatty(sys.stdin.fileno())
-    except (OSError, ValueError):  # stdin replaced by a pipe-less object
-        interactive = False
-    if interactive:
-        print("Reading whitespace-separated phoneme ids from stdin...", file=sys.stderr)
-
-    def emit(utt_id, mel):
-        if args.numpy_dir:
-            if not utt_id:
-                utt_id = str(time.time())
-            mel_path = args.numpy_dir / (utt_id + ".npy")
-            np.save(str(mel_path), mel, allow_pickle=True)
-            _LOGGER.debug("Wrote %s", mel_path)
-        else:
-            output_obj["id"] = utt_id
-            output_obj["mel"] = mel.tolist()
-            json.dump(output_obj, sys.stdout)
-            sys.stdout.write("\n")
-            sys.stdout.flush()
-
+    emit = make_emitter(args.numpy_dir, config.audio)
     pending = []  # (utt_id, phoneme_ids)
     try:
-        for line in sys.stdin:
-            line = line.strip()
-            if not line:
-                continue
-            utt_id = ""
-            if args.csv:
-                utt_id, line = line.split("|", maxsplit=1)
-            phoneme_ids = [int(p) for p in line.split()]
-            bad = [p for p in phoneme_ids if not 0 <= p < config.model.num_symbols]
-            if bad:
-                # out-of-range ids would silently clamp in the embedding
-                # lookup (XLA gather semantics) and synthesize garbage —
-                # fail loudly like the reference's torch embedding would
-                _LOGGER.error(
-                    "phoneme ids %s out of range [0, %s) (id=%s); skipping — "
-                    "check --config/--num-symbols matches the phoneme inventory",
-                    bad,
-                    config.model.num_symbols,
-                    utt_id or "<no id>",
-                )
-                continue
+        for utt_id, phoneme_ids in stdin_utterances(
+            args.csv, config.model.num_symbols
+        ):
             _LOGGER.debug("%s (id=%s)", phoneme_ids, utt_id)
             pending.append((utt_id, phoneme_ids))
             if len(pending) >= args.batch_size:

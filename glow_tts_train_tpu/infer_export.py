@@ -8,10 +8,8 @@ Also fixes the reference bug where JSONL output reads nonexistent
 AudioConfig fields (infer_onnx.py:84-90 — crashes as shipped)."""
 
 import argparse
-import dataclasses
 import json
 import logging
-import sys
 import time
 from pathlib import Path
 
@@ -107,12 +105,20 @@ def run(
         ]
 
         def call_fn(text, text_lengths, scales, seed):
-            mel, mel_lengths = tf_fn(
+            out = tf_fn(
                 tf.constant(text),
                 tf.constant(text_lengths),
                 tf.constant(scales),
                 tf.constant(seed),
             )
+            if isinstance(out, dict):
+                # a signature ConcreteFunction returns named outputs; pick
+                # by rank (mel [1, n_mel, t] vs lengths [1])
+                vals = [np.asarray(v) for _, v in sorted(out.items())]
+                mel = next(v for v in vals if v.ndim == 3)
+                mel_lengths = next(v for v in vals if v.ndim == 1)
+            else:
+                mel, mel_lengths = out
             return np.asarray(mel), np.asarray(mel_lengths)
 
     else:
@@ -126,28 +132,16 @@ def run(
         time.perf_counter() - start_time,
     )
 
-    output_obj = {"id": "", "audio": dataclasses.asdict(config.audio), "mel": []}
     scales = np.asarray([noise_scale, length_scale], np.float32)
     seed_arr = np.asarray(seed, np.int32)
 
-    import os
+    from .utils.stdio import make_emitter, stdin_utterances
 
+    emit = make_emitter(numpy_dir, config.audio)
     try:
-        interactive = os.isatty(sys.stdin.fileno())
-    except (OSError, ValueError):  # stdin replaced by a pipe-less object
-        interactive = False
-    if interactive:
-        print("Reading whitespace-separated phoneme ids from stdin...", file=sys.stderr)
-
-    try:
-        for line in sys.stdin:
-            line = line.strip()
-            if not line:
-                continue
-            utt_id = ""
-            if csv:
-                utt_id, line = line.split("|", maxsplit=1)
-            phoneme_ids = [int(p) for p in line.split()]
+        for utt_id, phoneme_ids in stdin_utterances(
+            csv, config.model.num_symbols
+        ):
             if len(phoneme_ids) > max_text_length:
                 _LOGGER.warning(
                     "Utterance %s longer than export budget (%s > %s); truncating",
@@ -166,18 +160,7 @@ def run(
             elapsed = time.perf_counter() - start_time
 
             mel = np.asarray(mel)[0, :, : int(np.asarray(mel_lengths)[0])]
-            if numpy_dir:
-                if not utt_id:
-                    utt_id = str(time.time())
-                mel_path = numpy_dir / (utt_id + ".npy")
-                np.save(str(mel_path), mel, allow_pickle=True)
-                _LOGGER.debug("Wrote %s", mel_path)
-            else:
-                output_obj["id"] = utt_id
-                output_obj["mel"] = mel.tolist()
-                json.dump(output_obj, sys.stdout)
-                sys.stdout.write("\n")
-                sys.stdout.flush()
+            emit(utt_id, mel)
             _LOGGER.debug(
                 "Generated mel in %s second(s) (%s, shape=%s)",
                 elapsed,

@@ -105,3 +105,35 @@ def test_onnx_export_fails_with_clear_message(tmp_path):
     with pytest.raises(SystemExit, match="tf2onnx"):
         export_onnx(params, config, MAX_TEXT, MAX_FRAMES, tmp_path)
     assert not (tmp_path / "generator.onnx").exists()
+
+
+def test_multispeaker_export_bakes_speaker(tmp_path):
+    """Multispeaker models export with a chosen --speaker baked in
+    (reference export signature has no speaker input, export_onnx.py:73-86);
+    different speakers must produce different artifacts' outputs, and the
+    export must not crash (regression: forward_gen was called without
+    g_ids, killing every multispeaker export with a conv-shape error)."""
+    import jax.numpy as jnp
+
+    from glow_tts_train_tpu.export import export_model
+
+    config = tiny_config(n_speakers=3, gin_channels=4)
+    hp = hyper_from_config(config)
+    params = store_inverse(init_model(jax.random.PRNGKey(0), hp))
+
+    text = np.zeros((1, MAX_TEXT), np.int32)
+    text[0, :5] = [3, 7, 12, 5, 9]
+    text_lengths = np.asarray([5], np.int32)
+    scales = np.asarray([0.0, 1.0], np.float32)
+    seed = np.asarray(0, np.int32)
+
+    mels = []
+    for speaker in (0, 1):
+        fn = build_infer_fn(params, config, MAX_FRAMES, speaker=speaker)
+        mel, mel_lengths = jax.jit(fn)(text, text_lengths, scales, seed)
+        assert np.isfinite(np.asarray(mel)).all()
+        mels.append(np.asarray(mel))
+        # the serialized path works too
+        blob = export_model(params, config, MAX_TEXT, MAX_FRAMES, speaker=speaker)
+        assert len(blob) > 1000
+    assert np.abs(mels[0] - mels[1]).max() > 1e-6  # speaker actually conditions
