@@ -48,13 +48,16 @@ def build_synthesizer(
 
     @partial(jax.jit, static_argnames=("length_scale_static",))
     def predict_frames(params, x, x_lengths, g_ids, length_scale_static):
+        """Frame budget AND the encoder outputs — handed to gen() so the
+        encoder runs once per synthesis, not twice."""
         g = _speaker_vector(params, g_ids)
-        _, _, logw, x_mask = encoder_forward(params, hp, x, x_lengths, g=g)
+        enc = encoder_forward(params, hp, x, x_lengths, g=g)
+        _, _, logw, x_mask = enc
         w = jnp.exp(logw.astype(jnp.float32)) * x_mask * length_scale_static
-        return jnp.sum(jnp.ceil(w), axis=(1, 2)).astype(jnp.int32)
+        return jnp.sum(jnp.ceil(w), axis=(1, 2)).astype(jnp.int32), enc
 
     @partial(jax.jit, static_argnames=("y_max_length",))
-    def gen(params, x, x_lengths, g_ids, noise_rng, y_max_length):
+    def gen(params, x, x_lengths, g_ids, noise_rng, y_max_length, enc):
         out = forward_gen(
             params,
             hp,
@@ -65,6 +68,7 @@ def build_synthesizer(
             noise_scale=noise_scale,
             length_scale=length_scale,
             g_ids=g_ids,
+            encoder_out=enc,
         )
         (y, _, _, _), _, _, y_lengths = out
         return y, y_lengths
@@ -86,7 +90,7 @@ def build_synthesizer(
         if speaker is not None:
             g_ids = jnp.full((b,), speaker, jnp.int32)
 
-        frames = predict_frames(
+        frames, enc = predict_frames(
             params, jnp.asarray(x), jnp.asarray(x_lengths), g_ids, length_scale
         )
         budget = int(np.max(np.asarray(frames))) + hp.n_sqz
@@ -94,7 +98,8 @@ def build_synthesizer(
 
         rng_holder["rng"], noise_rng = jax.random.split(rng_holder["rng"])
         y, y_lengths = gen(
-            params, jnp.asarray(x), jnp.asarray(x_lengths), g_ids, noise_rng, y_max
+            params, jnp.asarray(x), jnp.asarray(x_lengths), g_ids, noise_rng,
+            y_max, enc,
         )
         y = np.asarray(y, np.float32)
         y_lengths = np.asarray(y_lengths)

@@ -409,6 +409,7 @@ def forward_gen(
     length_scale: float = 1.0,
     g_ids: typing.Optional[jnp.ndarray] = None,
     compute_dtype=jnp.float32,
+    encoder_out: typing.Optional[tuple] = None,
 ):
     """Generation graph with a static padded frame budget.
 
@@ -419,14 +420,22 @@ def forward_gen(
     output is truncated by the mask (callers should bucket y_max_length, see
     infer CLI).
 
+    ``encoder_out``: optional precomputed ``(x_m, x_logs, logw, x_mask)``
+    from :func:`encoder_forward` — callers that already ran the encoder to
+    size the frame budget (the infer CLI's pre-pass) pass it here so the
+    encoder does not run twice per synthesis.
+
     Returns ((y, z_m, z_logs, z_mask), (x_m, x_logs, x_mask),
              (attn, logw, logw_), y_lengths).
     """
     g = _speaker_vector(params, g_ids)
-    x_m, x_logs, logw, x_mask = encoder_forward(
-        params, hp, x, x_lengths, g=g, deterministic=True,
-        compute_dtype=compute_dtype,
-    )
+    if encoder_out is None:
+        x_m, x_logs, logw, x_mask = encoder_forward(
+            params, hp, x, x_lengths, g=g, deterministic=True,
+            compute_dtype=compute_dtype,
+        )
+    else:
+        x_m, x_logs, logw, x_mask = encoder_out
 
     w = jnp.exp(logw.astype(jnp.float32)) * x_mask * length_scale
     w_ceil = jnp.ceil(w)  # [b, tx, 1]
