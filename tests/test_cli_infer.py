@@ -99,3 +99,33 @@ def test_infer_cli_rejects_out_of_range_ids(tmp_path):
     lines = [l for l in proc.stdout.splitlines() if l.strip()]
     assert len(lines) == 1  # only the valid utterance synthesized
     assert "out of range" in proc.stderr
+
+
+def test_infer_cli_speaker_validation(tmp_path):
+    """--speaker on a single-speaker model exits with a clear parser error
+    (previously a bare KeyError('emb_g') deep inside jit tracing)."""
+    ckpt, cfg = _make_checkpoint(tmp_path)
+    proc = _run_infer(ckpt, cfg, "3 7 12\n", "--speaker", "0")
+    assert proc.returncode == 2
+    assert "requires a multispeaker model" in proc.stderr
+
+
+def test_export_cli_speaker_validation(tmp_path):
+    """export --speaker out of range / on single-speaker models errors
+    before any tracing."""
+    import os
+
+    ckpt, cfg = _make_checkpoint(tmp_path)
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env["JAX_COMPILATION_CACHE_DIR"] = "/tmp/jax_test_cache"
+    proc = subprocess.run(
+        [
+            sys.executable, "-m", "glow_tts_train_tpu.export",
+            str(ckpt), str(tmp_path / "export"), "--config", str(cfg),
+            "--speaker", "1",
+        ],
+        capture_output=True, text=True, env=env, timeout=120,
+    )
+    assert proc.returncode == 2
+    assert "requires a multispeaker model" in proc.stderr
