@@ -323,9 +323,14 @@ def load_checkpoint(
         ckpt = torch.load(checkpoint_path, map_location="cpu", weights_only=False)
         sd = ckpt["model"] if "model" in ckpt else ckpt
         params = import_torch_state_dict(sd, config)
+        opt_state = None
+        if load_optimizer and isinstance(ckpt.get("optimizer"), dict):
+            opt_state = import_torch_opt_state(
+                ckpt["optimizer"], sd, config, params
+            )
         return Checkpoint(
             params=params,
-            opt_state=None,
+            opt_state=opt_state,
             learning_rate=float(ckpt.get("learning_rate", 1.0)),
             global_step=int(ckpt.get("global_step", 1)),
             version=int(ckpt.get("version", 1)),
@@ -500,3 +505,62 @@ def import_torch_state_dict(sd: dict, config: TrainingConfig) -> Params:
         params["emb_g"] = _t(sd["emb_g.weight"])
 
     return params
+
+
+def import_torch_opt_state(opt_sd, model_sd, config, params):
+    """Map a reference torch.optim.Adam state dict onto our optax state.
+
+    The reference checkpoint stores the Adam state (checkpoint.py:38-46):
+    ``{"state": {param_index: {step, exp_avg, exp_avg_sq}}, "param_groups"}``
+    keyed by parameter REGISTRATION order, which for the reference model is
+    exactly the state-dict key order (no buffers).  The moments live in the
+    same parametrization as the weights (weight-norm g/v, conv layout), so
+    :func:`import_torch_state_dict`'s per-tensor reorderings apply to them
+    verbatim — fine-tuning from a reference checkpoint continues Adam and
+    the Noam schedule instead of restarting them.
+
+    Returns the optax chain state, or None (with a warning) when the
+    saved state cannot be mapped — the caller then starts Adam fresh.
+    """
+    import jax.numpy as jnp
+
+    from .optimize import make_optimizer
+
+    try:
+        state = opt_sd["state"]
+        names = list(model_sd.keys())
+        if not state or len(state) != len(names):
+            raise ValueError(
+                f"optimizer covers {len(state)} of {len(names)} parameters"
+            )
+        by_name = {names[i]: s for i, s in state.items()}
+        sd_mu = {n: s["exp_avg"] for n, s in by_name.items()}
+        sd_nu = {n: s["exp_avg_sq"] for n, s in by_name.items()}
+        steps = {int(s["step"]) for s in by_name.values()}
+        if len(steps) != 1:
+            raise ValueError(f"per-parameter steps diverge: {sorted(steps)}")
+        count = jnp.asarray(steps.pop(), jnp.int32)
+
+        mu = jax.tree_util.tree_map(
+            jnp.asarray, import_torch_state_dict(sd_mu, config)
+        )
+        nu = jax.tree_util.tree_map(
+            jnp.asarray, import_torch_state_dict(sd_nu, config)
+        )
+        tx = make_optimizer(config)
+        fresh = tx.init(jax.tree_util.tree_map(jnp.asarray, params))
+        adam = fresh[1]._replace(count=count, mu=mu, nu=nu)
+        sched = fresh[2]._replace(count=count)
+        _LOGGER.info(
+            "imported torch Adam state (%s parameters, step=%s)",
+            len(names),
+            int(count),
+        )
+        return (fresh[0], adam, sched)
+    except Exception as exc:
+        _LOGGER.warning(
+            "could not import torch optimizer state (%s); Adam restarts "
+            "fresh — fine-tuning still works, moments rebuild over warmup",
+            exc,
+        )
+        return None

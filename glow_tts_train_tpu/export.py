@@ -208,6 +208,13 @@ def main(argv=None):
         help="Multispeaker models: speaker id to bake into the artifact "
         "(the exported signature has no speaker input; default 0)",
     )
+    parser.add_argument(
+        "--platform",
+        default="auto",
+        choices=("auto", "cpu", "tpu"),
+        help="Backend to trace/serialize on (artifacts are exported "
+        "multi-platform regardless; 'cpu' avoids needing a device)",
+    )
     parser.add_argument("--debug", action="store_true")
     args = parser.parse_args(argv)
 
@@ -216,6 +223,13 @@ def main(argv=None):
     from .utils.jaxcache import enable_compilation_cache
 
     enable_compilation_cache()
+
+    if args.platform != "auto":
+        # must precede any backend-initializing jax call (env JAX_PLATFORMS
+        # alone is ignored by some TPU plugins)
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     from .checkpoint import load_checkpoint
     from .config import TrainingConfig

@@ -427,3 +427,69 @@ def test_finetune_from_reference_pth(reference_models, tmp_path):
     assert int(new_state.step) == 570001
     flat1 = jax.flatten_util.ravel_pytree(new_state.params)[0]
     assert float(jnp.max(jnp.abs(flat1 - flat0))) > 0
+
+
+def test_torch_adam_state_imports(reference_models, tmp_path):
+    """The reference checkpoint's torch.optim.Adam state maps onto our
+    optax state: moments land on the right tree leaves (same per-tensor
+    reorderings as the weights), the step count continues, and a training
+    step runs from the imported state."""
+    from glow_tts_train_tpu import training
+    from glow_tts_train_tpu.checkpoint import load_checkpoint
+
+    config = tiny_config()
+    ref, _ = build_pair(reference_models, config)
+
+    opt = torch.optim.Adam(ref.parameters(), lr=1e-4)
+    for _ in range(3):  # populate exp_avg/exp_avg_sq/step for every param
+        opt.zero_grad()
+        loss = sum(p.float().sum() for p in ref.parameters())
+        loss.backward()
+        opt.step()
+
+    pth_path = tmp_path / "checkpoint_300.pth"
+    torch.save(
+        {
+            "model": ref.state_dict(),
+            "optimizer": opt.state_dict(),
+            "global_step": 300,
+            "learning_rate": 2e-4,
+            "version": 1,
+        },
+        pth_path,
+    )
+
+    ckpt = load_checkpoint(pth_path, config)
+    assert ckpt.opt_state is not None, "torch Adam state should import"
+    adam = ckpt.opt_state[1]
+    assert int(adam.count) == 3
+    assert int(ckpt.opt_state[2].count) == 3  # Noam schedule continues
+
+    # spot-check moment mapping: the embedding's exp_avg lands on mu["emb"]
+    emb_exp_avg = opt.state_dict()["state"][0]["exp_avg"].numpy()
+    np.testing.assert_allclose(
+        np.asarray(adam.mu["emb"]), emb_exp_avg, rtol=1e-6
+    )
+    # ...and a conv moment gets the same [out,in,k]->[k,in,out] transform
+    names = [n for n, _ in ref.named_parameters()]
+    i_proj_m = names.index("encoder.proj_m.weight")
+    pm_exp_sq = opt.state_dict()["state"][i_proj_m]["exp_avg_sq"].numpy()
+    np.testing.assert_allclose(
+        np.asarray(adam.nu["proj_m"]["w"]),
+        pm_exp_sq.transpose(2, 1, 0),
+        rtol=1e-6,
+    )
+
+    # the imported state trains
+    state = training.TrainState(
+        ckpt.params, ckpt.opt_state, jnp.asarray(ckpt.global_step, jnp.int32)
+    )
+    batch = {
+        k: jnp.asarray(v)
+        for k, v in zip(("x", "x_lengths", "y", "y_lengths"), make_inputs(config))
+    }
+    batch["x"] = batch["x"].astype(jnp.int32)
+    batch["y"] = jnp.transpose(batch["y"], (0, 2, 1))
+    step_fn = training.make_train_step(config, donate=False)
+    _, metrics = step_fn(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
