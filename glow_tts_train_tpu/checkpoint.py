@@ -550,14 +550,20 @@ def import_torch_opt_state(opt_sd, model_sd, config, params):
         tx = make_optimizer(config)
         fresh = tx.init(jax.tree_util.tree_map(jnp.asarray, params))
         adam = fresh[1]._replace(count=count, mu=mu, nu=nu)
-        sched = fresh[2]._replace(count=count)
+        # constant-lr configs use ScaleState (no count field); only the
+        # noam schedule carries a counter to continue
+        sched = fresh[2]
+        if "count" in getattr(type(sched), "_fields", ()):
+            sched = sched._replace(count=count)
         _LOGGER.info(
             "imported torch Adam state (%s parameters, step=%s)",
             len(names),
             int(count),
         )
         return (fresh[0], adam, sched)
-    except Exception as exc:
+    except (KeyError, ValueError, TypeError, IndexError) as exc:
+        # expected mapping failures (changed model schema, partial state);
+        # anything else is an importer bug and should surface
         _LOGGER.warning(
             "could not import torch optimizer state (%s); Adam restarts "
             "fresh — fine-tuning still works, moments rebuild over warmup",

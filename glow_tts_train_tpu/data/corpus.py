@@ -100,6 +100,17 @@ def build_dataset(
     mels: typing.Dict[UttKey, typing.Any] = {}
     mel_dirs: typing.Dict[int, Path] = {}
 
+    # Speaker-id range check up front (needs no I/O): ids index the speaker
+    # embedding; an out-of-range row would silently clamp onto the last
+    # speaker after minutes of corpus loading.
+    n_speakers = config.model.n_speakers
+    for src in sources:
+        if n_speakers > 1 and not 0 <= src.speaker_idx < n_speakers:
+            raise CorpusError(
+                f"--dataset speaker id {src.speaker_idx} out of range "
+                f"[0, {n_speakers}) for this model (speaker ids are 0-based)"
+            )
+
     for src in sources:
         with open(src.phonemes_path, "r", encoding="utf-8") as fh:
             per_utt = load_phonemes(fh, config)
@@ -149,27 +160,27 @@ def build_dataset(
                 f"{expected} — fix the config or regenerate the mels"
             )
 
-        # Phoneme-id range check when num_symbols is preset: out-of-range
-        # ids would silently clamp in the embedding gather and train the
-        # wrong symbol (the infer CLI rejects the same ids loudly).
+        # Phoneme-id range check when num_symbols is preset: ids outside
+        # [0, num_symbols) would silently clamp/wrap in the embedding gather
+        # and train the wrong symbol (the infer CLI rejects them loudly).
         n_sym = config.model.num_symbols
-        if n_sym >= 1 and per_utt:
-            corpus_max = max(int(np.max(p)) for p in per_utt.values() if len(p))
-            if corpus_max >= n_sym:
-                raise CorpusError(
-                    f"speaker {src.speaker_idx}: {src.phonemes_path} contains "
-                    f"phoneme id {corpus_max} but the config says "
-                    f"model.num_symbols={n_sym} (valid ids are 0..{n_sym - 1})"
-                )
-
-        # Speaker-id range check: ids index the speaker embedding, and an
-        # out-of-range row would silently clamp onto the last speaker.
-        n_speakers = config.model.n_speakers
-        if n_speakers > 1 and not 0 <= src.speaker_idx < n_speakers:
-            raise CorpusError(
-                f"--dataset speaker id {src.speaker_idx} out of range "
-                f"[0, {n_speakers}) for this model (speaker ids are 0-based)"
-            )
+        if n_sym >= 1:
+            bounds = [
+                (int(np.min(p)), int(np.max(p)))
+                for p in per_utt.values()
+                if len(p)
+            ]
+            if bounds:
+                corpus_min = min(lo for lo, _ in bounds)
+                corpus_max = max(hi for _, hi in bounds)
+                if corpus_min < 0 or corpus_max >= n_sym:
+                    offender = corpus_min if corpus_min < 0 else corpus_max
+                    raise CorpusError(
+                        f"speaker {src.speaker_idx}: {src.phonemes_path} "
+                        f"contains phoneme id {offender} but the config says "
+                        f"model.num_symbols={n_sym} (valid ids are "
+                        f"0..{n_sym - 1})"
+                    )
 
     if multispeaker is None:
         multispeaker = len(sources) > 1

@@ -247,12 +247,10 @@ def main(argv=None):
         config.model.num_symbols = args.num_symbols
     assert config.model.num_symbols > 0, "Number of symbols not set"
 
+    from .utils.stdio import validate_speaker
+
     n_speakers = config.model.n_speakers
-    if args.speaker is not None and n_speakers <= 1:
-        parser.error("--speaker requires a multispeaker model config")
-    speaker = args.speaker or 0
-    if n_speakers > 1 and not 0 <= speaker < n_speakers:
-        parser.error(f"--speaker {speaker} out of range [0, {n_speakers})")
+    speaker = validate_speaker(parser, n_speakers, args.speaker)
 
     checkpoint = load_checkpoint(args.checkpoint, config, load_optimizer=False)
     _LOGGER.info(

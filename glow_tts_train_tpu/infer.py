@@ -194,10 +194,6 @@ def main():
             noise_scale=args.noise_scale,
             length_scale=args.length_scale,
         )
-    if args.numpy_dir:
-        args.numpy_dir = Path(args.numpy_dir)
-        args.numpy_dir.mkdir(parents=True, exist_ok=True)
-
     config = TrainingConfig()
     if args.config:
         _LOGGER.debug("Loading configuration(s) from %s", args.config)
@@ -208,16 +204,10 @@ def main():
         config.model.num_symbols > 0
     ), "Number of symbols not set (did you forget --config or --num-symbols?)"
 
+    from .utils.stdio import validate_speaker
+
     if args.speaker is not None:
-        # an out-of-range id would silently clamp onto the last speaker's
-        # embedding; a single-speaker model has no speaker table at all
-        if config.model.n_speakers <= 1:
-            parser.error("--speaker requires a multispeaker model config")
-        if not 0 <= args.speaker < config.model.n_speakers:
-            parser.error(
-                f"--speaker {args.speaker} out of range "
-                f"[0, {config.model.n_speakers})"
-            )
+        validate_speaker(parser, config.model.n_speakers, args.speaker)
 
     start_time = time.perf_counter()
     checkpoint = load_checkpoint(args.checkpoint, config, load_optimizer=False)

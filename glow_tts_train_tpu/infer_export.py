@@ -74,10 +74,6 @@ def run(
     from .export import ARTIFACT_NAME, META_NAME
 
     model_dir = Path(model_dir)
-    if numpy_dir:
-        numpy_dir = Path(numpy_dir)
-        numpy_dir.mkdir(parents=True, exist_ok=True)
-
     with open(model_dir / "config.json") as config_file:
         config = TrainingConfig.load(config_file)
     with open(model_dir / META_NAME) as meta_file:

@@ -89,3 +89,16 @@ def make_emitter(numpy_dir, audio_config) -> typing.Callable[[str, np.ndarray], 
         sys.stdout.flush()
 
     return emit
+
+
+def validate_speaker(parser, n_speakers: int, speaker) -> int:
+    """Shared --speaker validation for the infer/export CLIs: exits via
+    ``parser.error`` on a single-speaker model or an out-of-range id (an
+    out-of-range id would silently clamp onto the last speaker's
+    embedding).  Returns the effective speaker id (0 when unset)."""
+    if speaker is not None and n_speakers <= 1:
+        parser.error("--speaker requires a multispeaker model config")
+    speaker = speaker or 0
+    if n_speakers > 1 and not 0 <= speaker < n_speakers:
+        parser.error(f"--speaker {speaker} out of range [0, {n_speakers})")
+    return speaker

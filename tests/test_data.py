@@ -283,3 +283,23 @@ def test_build_dataset_rejects_mel_channel_mismatch(tmp_path):
         build_dataset(
             [SpeakerSource(0, csv, mels_dir)], config, mels_are_dirs=True
         )
+
+
+def test_build_dataset_rejects_negative_phoneme_ids(tmp_path):
+    """Negative ids wrap/clamp in the embedding gather just as silently as
+    too-large ones — the range check must catch both ends."""
+    import json as _json
+
+    import pytest
+
+    from glow_tts_train_tpu.data import SpeakerSource, build_dataset
+    from helpers import tiny_config
+
+    config = tiny_config()  # num_symbols == 20
+    csv = tmp_path / "phonemes.csv"
+    csv.write_text("u0|3 -1 7\n")
+    jsonl = tmp_path / "mels.jsonl"
+    with open(jsonl, "w") as f:
+        f.write(_json.dumps({"id": "u0", "mel": [[0.0] * 12] * 8}) + "\n")
+    with pytest.raises(ValueError, match="phoneme id -1"):
+        build_dataset([SpeakerSource(0, csv, jsonl)], config)

@@ -25,15 +25,28 @@ def _free_port():
 
 
 def _run_pair(tmp_path, mels_dir, extra=(), attempts=2):
-    """Launch the 2-process rendezvous; retry once with a fresh port if the
-    coordinator port was sniped between _free_port() releasing it and
-    jax.distributed binding it (inherent TOCTOU of port picking)."""
+    """Launch the 2-process rendezvous; retry once on a coordinator-port
+    bind race (inherent TOCTOU of port picking) or a timeout (the two
+    processes each compile the full train step — under heavy machine
+    contention, e.g. the full suite alongside a TPU job, one attempt can
+    exceed the window)."""
+    import subprocess as sp
+
     for attempt in range(attempts):
         port = _free_port()
         procs = [
             _launch(tmp_path, mels_dir, port, i, extra=extra) for i in (0, 1)
         ]
-        outs = [p.communicate(timeout=420)[0] for p in procs]
+        try:
+            outs = [p.communicate(timeout=420)[0] for p in procs]
+        except sp.TimeoutExpired:
+            for p in procs:
+                if p.poll() is None:
+                    p.kill()
+                    p.communicate()
+            if attempt + 1 < attempts:
+                continue
+            raise
         if all(p.returncode == 0 for p in procs):
             return outs
         bind_race = any(
