@@ -79,6 +79,7 @@ class GlowTTSHyper(typing.NamedTuple):
     prenet: bool = False
     unroll: bool = False
     remat: bool = True
+    remat_encoder: bool = False
 
     @property
     def h_enc(self) -> int:
@@ -138,6 +139,7 @@ def hyper_from_config(config: TrainingConfig) -> GlowTTSHyper:
         prenet=m.prenet,
         unroll=config.unroll_blocks,
         remat=config.remat_blocks,
+        remat_encoder=config.remat_encoder,
     )
 
 
@@ -273,9 +275,9 @@ def encoder_forward(
         rng=r_enc,
         deterministic=deterministic,
         unroll=hp.unroll,
-        # encoder remat measured at parity on v5e (29.8 vs 30.0 ms/step at
-        # base 32x128x640 — the encoder stores little); left off, available
-        # in encoder_apply for long-t_x configs
+        # encoder remat: -2% at b=32 (the encoder stores little), +0.8% at
+        # b=128 under memory pressure — off by default (config.remat_encoder)
+        remat=hp.remat_encoder,
     )
 
     # duration predictor sees detached encoder output (+ non-detached speaker

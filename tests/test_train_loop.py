@@ -159,3 +159,19 @@ def test_prefetch_worker_terminates_on_early_exit():
     while threading.active_count() > before and _time.time() < deadline:
         _time.sleep(0.05)
     assert threading.active_count() <= before
+
+
+def test_remat_encoder_numerically_identical():
+    """remat_encoder only changes how backward obtains encoder activations;
+    the train step result must match the default exactly."""
+    import dataclasses
+
+    results = []
+    for remat_enc in (False, True):
+        config = dataclasses.replace(tiny_config(), remat_encoder=remat_enc)
+        batch = random_batch(config, np.random.default_rng(9))
+        state = training.create_state(config, jax.random.PRNGKey(0))
+        step_fn = training.make_train_step(config, donate=False)
+        _, metrics = step_fn(state, batch, jax.random.PRNGKey(1))
+        results.append((float(metrics["loss"]), float(metrics["grad_norm"])))
+    np.testing.assert_allclose(results[0], results[1], rtol=1e-6)
