@@ -90,12 +90,12 @@ def main():
     )
     parser.add_argument("--num-processes", type=int)
     parser.add_argument("--process-id", type=int)
-    parser.add_argument(
-        "--platform",
-        default="auto",
-        choices=("auto", "cpu", "tpu"),
-        help="Force the JAX backend (cpu runs anywhere; combine with "
-        "--virtual-devices to exercise the multi-chip path without chips)",
+    from .utils.stdio import add_platform_arg
+
+    add_platform_arg(
+        parser,
+        help_suffix="combine with --virtual-devices to exercise the "
+        "multi-chip path without chips",
     )
     parser.add_argument(
         "--virtual-devices",
@@ -132,10 +132,9 @@ def main():
     # Heavy imports after arg parsing so --help is fast
     import jax
 
-    if args.platform != "auto":
-        # the env's TPU plugin ignores JAX_PLATFORMS; the config knob works
-        # when set before the backend initializes
-        jax.config.update("jax_platforms", args.platform)
+    from .utils.stdio import apply_platform
+
+    apply_platform(args.platform)
 
     # Multi-host rendezvous: the GSPMD replacement for the reference's
     # torch.distributed.launch + NCCL process group (__main__.py:83-88).

@@ -522,10 +522,6 @@ def import_torch_opt_state(opt_sd, model_sd, config, params):
     Returns the optax chain state, or None (with a warning) when the
     saved state cannot be mapped — the caller then starts Adam fresh.
     """
-    import jax.numpy as jnp
-
-    from .optimize import make_optimizer
-
     try:
         state = opt_sd["state"]
         names = list(model_sd.keys())
@@ -549,18 +545,27 @@ def import_torch_opt_state(opt_sd, model_sd, config, params):
         )
         tx = make_optimizer(config)
         fresh = tx.init(jax.tree_util.tree_map(jnp.asarray, params))
-        adam = fresh[1]._replace(count=count, mu=mu, nu=nu)
-        # constant-lr configs use ScaleState (no count field); only the
-        # noam schedule carries a counter to continue
-        sched = fresh[2]
-        if "count" in getattr(type(sched), "_fields", ()):
-            sched = sched._replace(count=count)
+        # locate states structurally (not by chain position): the Adam state
+        # is the one with mu/nu fields; any other counted state (the noam
+        # schedule) continues from the same step
+        rebuilt = []
+        found_adam = False
+        for st in fresh:
+            fields = getattr(type(st), "_fields", ())
+            if "mu" in fields and "nu" in fields:
+                st = st._replace(count=count, mu=mu, nu=nu)
+                found_adam = True
+            elif "count" in fields:
+                st = st._replace(count=count)
+            rebuilt.append(st)
+        if not found_adam:
+            raise ValueError("no Adam state in the optimizer chain")
         _LOGGER.info(
             "imported torch Adam state (%s parameters, step=%s)",
             len(names),
             int(count),
         )
-        return (fresh[0], adam, sched)
+        return tuple(rebuilt)
     except (KeyError, ValueError, TypeError, IndexError) as exc:
         # expected mapping failures (changed model schema, partial state);
         # anything else is an importer bug and should surface

@@ -208,12 +208,10 @@ def main(argv=None):
         help="Multispeaker models: speaker id to bake into the artifact "
         "(the exported signature has no speaker input; default 0)",
     )
-    parser.add_argument(
-        "--platform",
-        default="auto",
-        choices=("auto", "cpu", "tpu"),
-        help="Backend to trace/serialize on (artifacts are exported "
-        "multi-platform regardless; 'cpu' avoids needing a device)",
+    from .utils.stdio import add_platform_arg
+
+    add_platform_arg(
+        parser, help_suffix="artifacts are exported multi-platform regardless"
     )
     parser.add_argument("--debug", action="store_true")
     args = parser.parse_args(argv)
@@ -224,12 +222,9 @@ def main(argv=None):
 
     enable_compilation_cache()
 
-    if args.platform != "auto":
-        # must precede any backend-initializing jax call (env JAX_PLATFORMS
-        # alone is ignored by some TPU plugins)
-        import jax
+    from .utils.stdio import apply_platform
 
-        jax.config.update("jax_platforms", args.platform)
+    apply_platform(args.platform)
 
     from .checkpoint import load_checkpoint
     from .config import TrainingConfig

@@ -132,13 +132,9 @@ def main():
     parser.add_argument(
         "--speaker", type=int, help="Speaker id number (multispeaker model only)"
     )
-    parser.add_argument(
-        "--platform",
-        default="auto",
-        choices=("auto", "cpu", "tpu"),
-        help="Backend to synthesize on ('cpu' runs anywhere; 'auto' uses "
-        "the default backend)",
-    )
+    from .utils.stdio import add_platform_arg
+
+    add_platform_arg(parser)
     parser.add_argument(
         "--debug", action="store_true", help="Print DEBUG messages to the console"
     )
@@ -151,12 +147,9 @@ def main():
     enable_compilation_cache()
     _LOGGER.debug(args)
 
-    if args.platform != "auto":
-        # must land before any backend-initializing jax call (env
-        # JAX_PLATFORMS alone is ignored by some TPU plugins)
-        import jax
+    from .utils.stdio import apply_platform
 
-        jax.config.update("jax_platforms", args.platform)
+    apply_platform(args.platform)
 
     import numpy as np
 

@@ -26,12 +26,10 @@ def main(argv=None):
     parser.add_argument("--noise-scale", type=float, default=0.667)
     parser.add_argument("--length-scale", type=float, default=1.0)
     parser.add_argument("--seed", type=int, default=1234)
-    parser.add_argument(
-        "--platform",
-        default="auto",
-        choices=("auto", "cpu", "tpu"),
-        help="Backend to run the artifact on (artifacts are exported "
-        "multi-platform; 'cpu' runs anywhere)",
+    from .utils.stdio import add_platform_arg
+
+    add_platform_arg(
+        parser, help_suffix="artifacts are exported multi-platform"
     )
     parser.add_argument("--debug", action="store_true")
     args = parser.parse_args(argv)
@@ -84,8 +82,9 @@ def run(
     if (model_dir / ARTIFACT_NAME).exists():
         import jax
 
-        if platform != "auto":
-            jax.config.update("jax_platforms", platform)
+        from .utils.stdio import apply_platform
+
+        apply_platform(platform)
         from jax import export as jax_export
 
         exported = jax_export.deserialize(

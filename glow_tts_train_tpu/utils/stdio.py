@@ -102,3 +102,24 @@ def validate_speaker(parser, n_speakers: int, speaker) -> int:
     if n_speakers > 1 and not 0 <= speaker < n_speakers:
         parser.error(f"--speaker {speaker} out of range [0, {n_speakers})")
     return speaker
+
+
+def add_platform_arg(parser, help_suffix: str = "") -> None:
+    """The shared --platform option (all four CLIs)."""
+    parser.add_argument(
+        "--platform",
+        default="auto",
+        choices=("auto", "cpu", "tpu"),
+        help="JAX backend to run on ('cpu' runs anywhere; 'auto' uses the "
+        "default backend)" + (f"; {help_suffix}" if help_suffix else ""),
+    )
+
+
+def apply_platform(platform: str) -> None:
+    """Force the JAX backend.  Must run before any backend-initializing
+    jax call — env JAX_PLATFORMS alone is ignored by some TPU plugins, but
+    the config knob works when set before the backend initializes."""
+    if platform != "auto":
+        import jax
+
+        jax.config.update("jax_platforms", platform)

@@ -30,8 +30,6 @@ def _run_pair(tmp_path, mels_dir, extra=(), attempts=2):
     processes each compile the full train step — under heavy machine
     contention, e.g. the full suite alongside a TPU job, one attempt can
     exceed the window)."""
-    import subprocess as sp
-
     for attempt in range(attempts):
         port = _free_port()
         procs = [
@@ -39,14 +37,20 @@ def _run_pair(tmp_path, mels_dir, extra=(), attempts=2):
         ]
         try:
             outs = [p.communicate(timeout=420)[0] for p in procs]
-        except sp.TimeoutExpired:
+        except subprocess.TimeoutExpired:
+            # surface whichever process actually crashed before killing the
+            # survivor — a bare TimeoutExpired would hide the root cause
+            partial = []
             for p in procs:
                 if p.poll() is None:
                     p.kill()
-                    p.communicate()
+                partial.append(p.communicate()[0])
             if attempt + 1 < attempts:
                 continue
-            raise
+            raise AssertionError(
+                "rendezvous timed out; process outputs:\n"
+                + "\n---\n".join(out[-2000:] for out in partial)
+            )
         if all(p.returncode == 0 for p in procs):
             return outs
         bind_race = any(

@@ -77,8 +77,16 @@ def test_jaxcache_honors_env(monkeypatch, tmp_path):
 
     from glow_tts_train_tpu.utils.jaxcache import enable_compilation_cache
 
+    prev_dir = jax.config.jax_compilation_cache_dir
+    prev_min = jax.config.jax_persistent_cache_min_compile_time_secs
     cache_dir = tmp_path / "cache"
     monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", str(cache_dir))
-    enable_compilation_cache()
-    assert jax.config.jax_compilation_cache_dir == str(cache_dir)
-    assert cache_dir.is_dir()
+    try:
+        enable_compilation_cache()
+        assert jax.config.jax_compilation_cache_dir == str(cache_dir)
+        assert cache_dir.is_dir()
+    finally:  # process-global config: do not leak into later tests
+        jax.config.update("jax_compilation_cache_dir", prev_dir)
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", prev_min
+        )
