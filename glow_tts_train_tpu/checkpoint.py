@@ -530,6 +530,18 @@ def import_torch_opt_state(opt_sd, model_sd, config, params):
                 f"optimizer covers {len(state)} of {len(names)} parameters"
             )
         by_name = {names[i]: s for i, s in state.items()}
+        # registration order == state-dict key order for the reference model
+        # (no buffers); guard that assumption per-tensor — a reordered
+        # registration with same-shaped tensors would otherwise silently
+        # apply the wrong moments
+        for n, s in by_name.items():
+            got = tuple(s["exp_avg"].shape)
+            want = tuple(model_sd[n].shape)
+            if got != want:
+                raise ValueError(
+                    f"Adam moment shape {got} does not match parameter "
+                    f"{n!r} shape {want} — registration order mismatch"
+                )
         sd_mu = {n: s["exp_avg"] for n, s in by_name.items()}
         sd_nu = {n: s["exp_avg_sq"] for n, s in by_name.items()}
         steps = {int(s["step"]) for s in by_name.values()}

@@ -69,17 +69,32 @@ def _npy_presence(
     return present, absent
 
 
-def _source_mel_channels(src, per_utt, mels, mels_are_dirs):
-    """Channel count of one representative mel from a speaker source, or
-    None when the source has no utterances.  Directory sources read only
-    the .npy header."""
-    if not per_utt:
-        return None
-    utt_id = next(iter(per_utt))
+def _source_mel_channel_samples(src, per_utt, mels, mels_are_dirs, n_dir_samples=8):
+    """(utt_id, channels) samples from a speaker source.
+
+    JSONL sources check every in-memory mel (np.shape is O(1)); directory
+    sources spot-check ``n_dir_samples`` spread across the id list, reading
+    only .npy headers.  Sampling more than one utterance catches partially
+    regenerated corpora with mixed channel counts, which a single
+    representative would miss and which otherwise fail steps later inside
+    jit tracing."""
+    ids = list(per_utt)
+    if not ids:
+        return []
     if not mels_are_dirs:
-        mel = mels.get((src.speaker_idx, utt_id))
-        return None if mel is None else int(np.shape(mel)[0])
-    return int(read_npy_shape(Path(src.mels_path) / (utt_id + ".npy"))[0])
+        return [
+            (u, int(np.shape(mel)[0]))
+            for u in ids
+            if (mel := mels.get((src.speaker_idx, u))) is not None
+        ]
+    stride = max(len(ids) // n_dir_samples, 1)
+    sampled = ids[::stride][:n_dir_samples]
+    if ids[-1] not in sampled:
+        sampled.append(ids[-1])
+    return [
+        (u, int(read_npy_shape(Path(src.mels_path) / (u + ".npy"))[0]))
+        for u in sampled
+    ]
 
 
 def build_dataset(
@@ -148,17 +163,20 @@ def build_dataset(
             src.mels_path,
         )
 
-        # Channel-count check on one representative mel per source: a
-        # mismatch would otherwise surface steps later as an einsum shape
-        # error deep inside jit tracing, with no hint it's a data problem.
-        found = _source_mel_channels(src, per_utt, mels, mels_are_dirs)
+        # Channel-count check on sampled mels per source: a mismatch would
+        # otherwise surface steps later as an einsum shape error deep inside
+        # jit tracing, with no hint it's a data problem.
         expected = config.audio.mel_channels
-        if found is not None and found != expected:
-            raise CorpusError(
-                f"speaker {src.speaker_idx}: mels in {src.mels_path} have "
-                f"{found} channels but the config says audio.mel_channels="
-                f"{expected} — fix the config or regenerate the mels"
-            )
+        for utt_id, found in _source_mel_channel_samples(
+            src, per_utt, mels, mels_are_dirs
+        ):
+            if found != expected:
+                raise CorpusError(
+                    f"speaker {src.speaker_idx}: mel for {utt_id!r} in "
+                    f"{src.mels_path} has {found} channels but the config "
+                    f"says audio.mel_channels={expected} — fix the config "
+                    f"or regenerate the mels"
+                )
 
         # Phoneme-id range check when num_symbols is preset: ids outside
         # [0, num_symbols) would silently clamp/wrap in the embedding gather

@@ -220,13 +220,14 @@ def main():
         params, config, noise_scale=args.noise_scale, length_scale=args.length_scale
     )
 
-    from .utils.stdio import make_emitter, stdin_utterances
+    from .utils.stdio import exit_if_skipped, make_emitter, stdin_utterances
 
     emit = make_emitter(args.numpy_dir, config.audio)
     pending = []  # (utt_id, phoneme_ids)
+    skipped: list = []
     try:
         for utt_id, phoneme_ids in stdin_utterances(
-            args.csv, config.model.num_symbols
+            args.csv, config.model.num_symbols, skipped=skipped
         ):
             _LOGGER.debug("%s (id=%s)", phoneme_ids, utt_id)
             pending.append((utt_id, phoneme_ids))
@@ -237,6 +238,7 @@ def main():
             flush(pending, synth, speaker, emit)
     except KeyboardInterrupt:
         pass
+    exit_if_skipped(skipped)
 
 
 def flush(pending, synth, speaker, emit):

@@ -130,12 +130,13 @@ def run(
     scales = np.asarray([noise_scale, length_scale], np.float32)
     seed_arr = np.asarray(seed, np.int32)
 
-    from .utils.stdio import make_emitter, stdin_utterances
+    from .utils.stdio import exit_if_skipped, make_emitter, stdin_utterances
 
     emit = make_emitter(numpy_dir, config.audio)
+    skipped: list = []
     try:
         for utt_id, phoneme_ids in stdin_utterances(
-            csv, config.model.num_symbols
+            csv, config.model.num_symbols, skipped=skipped
         ):
             if len(phoneme_ids) > max_text_length:
                 _LOGGER.warning(
@@ -164,6 +165,7 @@ def run(
             )
     except KeyboardInterrupt:
         pass
+    exit_if_skipped(skipped)
 
 
 if __name__ == "__main__":

@@ -37,7 +37,9 @@ def dropout(
     Keep probability is exact to 2^-32."""
     if deterministic or rate == 0.0 or rng is None:
         return x
-    threshold = np.uint32(round(rate * 2**32))
+    if rate >= 1.0:  # keep-nothing: uint32 threshold would wrap to 0
+        return jnp.zeros_like(x)
+    threshold = np.uint32(min(round(rate * 2**32), 2**32 - 1))
     keep = jax.random.bits(rng, x.shape, dtype=jnp.uint32) >= threshold
     scale = jnp.asarray(1.0 / (1.0 - rate), x.dtype)
     return jnp.where(keep, x * scale, jnp.zeros_like(x))

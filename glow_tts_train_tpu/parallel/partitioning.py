@@ -9,9 +9,10 @@ every conv's output-channel dim (and each embedding's feature dim) over a
 collectives; numerics are identical to the replicated layout
 (tests/test_parallel.py::test_tensor_parallel_matches_data_parallel).
 
-Memory note: the flat-vector optimizer (training.py) gathers params for the
-update, so TP here shards compute/weights in the step but not optimizer
-state; a fully TP-sharded optimizer is a later change.
+The optimizer state is a pytree with the same structure as the params
+(tree-form optax Adam, training.py), so the same spec tree shards the Adam
+moments alongside the weights — ``opt_state_partition_specs`` maps the
+param specs onto the optimizer chain state.
 """
 
 import typing
@@ -48,6 +49,28 @@ def param_partition_specs(params, model_axis: str = "model"):
         return PartitionSpec()
 
     return jax.tree_util.tree_map_with_path(spec_for, params)
+
+
+def opt_state_partition_specs(opt_state, params, param_specs) -> typing.Any:
+    """PartitionSpec tree for the optax chain state.
+
+    The tree-form optimizer's Adam moments (mu/nu) are pytrees with exactly
+    the param tree's structure, so they shard with the same specs as the
+    weights they track; every other leaf (step counts, scalars) is
+    replicated.  Matching is structural — any subtree of the chain state
+    whose treedef equals the param treedef gets ``param_specs`` — so the
+    mapping survives optax chain reordering.
+    """
+    treedef = jax.tree_util.tree_structure(params)
+
+    def is_param_tree(x):
+        return jax.tree_util.tree_structure(x) == treedef
+
+    return jax.tree_util.tree_map(
+        lambda x: param_specs if is_param_tree(x) else PartitionSpec(),
+        opt_state,
+        is_leaf=is_param_tree,
+    )
 
 
 def shardable(params, mesh, specs) -> typing.Any:

@@ -24,12 +24,19 @@ _LOGGER = logging.getLogger("glow_tts_train_tpu")
 
 
 def stdin_utterances(
-    csv: bool, num_symbols: int
+    csv: bool,
+    num_symbols: int,
+    skipped: typing.Optional[typing.List[str]] = None,
 ) -> typing.Iterator[typing.Tuple[str, typing.List[int]]]:
     """Yield (utt_id, phoneme_ids) per stdin line, skipping blank lines and
     rejecting out-of-range ids loudly (XLA's embedding gather would clamp
     them silently and synthesize garbage; the reference's torch embedding
-    raises)."""
+    raises).
+
+    A rejected line breaks the 1:1 input-line↔output-line correspondence
+    that positional JSONL consumers rely on, so callers pass ``skipped``
+    (a list the rejected ids/lines are appended to) and exit non-zero when
+    it is non-empty at end of stream."""
     import os
 
     try:
@@ -59,8 +66,23 @@ def stdin_utterances(
                 num_symbols,
                 utt_id or "<no id>",
             )
+            if skipped is not None:
+                skipped.append(utt_id or line)
             continue
         yield utt_id, phoneme_ids
+
+
+def exit_if_skipped(skipped: typing.List[str]) -> None:
+    """Exit non-zero when any stdin line was rejected: the JSONL output is no
+    longer line-aligned with the input, so positional consumers would
+    silently misalign.  (The reference's torch path raises instead.)"""
+    if skipped:
+        _LOGGER.error(
+            "%s utterance(s) were rejected (out-of-range phoneme ids); "
+            "output is incomplete — exiting non-zero",
+            len(skipped),
+        )
+        sys.exit(1)
 
 
 def make_emitter(numpy_dir, audio_config) -> typing.Callable[[str, np.ndarray], None]:

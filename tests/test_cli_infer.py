@@ -92,13 +92,16 @@ def test_infer_cli_csv_and_numpy_dir(tmp_path):
 def test_infer_cli_rejects_out_of_range_ids(tmp_path):
     """Out-of-range phoneme ids must be skipped with a loud error, not
     silently clamped into the embedding (XLA gather would clamp and
-    synthesize garbage; the reference's torch embedding raises)."""
+    synthesize garbage; the reference's torch embedding raises).  Valid
+    lines still synthesize, but the process exits non-zero so positional
+    JSONL consumers notice the lost input↔output line correspondence."""
     ckpt, cfg = _make_checkpoint(tmp_path)
     proc = _run_infer(ckpt, cfg, "3 7 999\n4 8 2\n")
-    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert proc.returncode == 1, proc.stderr[-2000:]
     lines = [l for l in proc.stdout.splitlines() if l.strip()]
     assert len(lines) == 1  # only the valid utterance synthesized
     assert "out of range" in proc.stderr
+    assert "exiting non-zero" in proc.stderr
 
 
 def test_infer_cli_speaker_validation(tmp_path):

@@ -285,6 +285,30 @@ def test_build_dataset_rejects_mel_channel_mismatch(tmp_path):
         )
 
 
+def test_build_dataset_rejects_mixed_mel_channels(tmp_path):
+    """A partially regenerated corpus (one good mel, one with the wrong
+    channel count) must fail at build: the channel check samples several
+    utterances per source, not a single representative."""
+    import pytest
+
+    from glow_tts_train_tpu.data import SpeakerSource, build_dataset
+    from helpers import tiny_config
+
+    config = tiny_config()  # audio.mel_channels == 8
+    rng = np.random.default_rng(0)
+
+    csv = tmp_path / "phonemes.csv"
+    csv.write_text("u0|3 5 7\nu1|2 4\n")
+    mels_dir = tmp_path / "mels"
+    mels_dir.mkdir()
+    np.save(mels_dir / "u0.npy", rng.standard_normal((8, 12)).astype(np.float32))
+    np.save(mels_dir / "u1.npy", rng.standard_normal((16, 12)).astype(np.float32))
+    with pytest.raises(ValueError, match="u1.*16 channels.*mel_channels=8"):
+        build_dataset(
+            [SpeakerSource(0, csv, mels_dir)], config, mels_are_dirs=True
+        )
+
+
 def test_build_dataset_rejects_negative_phoneme_ids(tmp_path):
     """Negative ids wrap/clamp in the embedding gather just as silently as
     too-large ones — the range check must catch both ends."""

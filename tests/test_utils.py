@@ -34,9 +34,35 @@ def test_stdin_utterances_plain_and_csv(monkeypatch):
 
 def test_stdin_utterances_rejects_out_of_range(monkeypatch, caplog):
     _with_stdin(monkeypatch, "3 99\n-1 4\n5 6\n")
-    out = list(stdin_utterances(False, 20))
+    skipped: list = []
+    out = list(stdin_utterances(False, 20, skipped=skipped))
     assert out == [("", [5, 6])]
     assert sum("out of range" in r.message for r in caplog.records) == 2
+    # rejected lines are recorded so CLIs can exit non-zero: JSONL output
+    # is no longer 1:1 with input lines, positional consumers must notice
+    assert len(skipped) == 2
+    from glow_tts_train_tpu.utils.stdio import exit_if_skipped
+
+    with pytest.raises(SystemExit) as excinfo:
+        exit_if_skipped(skipped)
+    assert excinfo.value.code == 1
+    exit_if_skipped([])  # no skips -> no exit
+
+
+def test_dropout_rate_one_and_clamp():
+    """rate>=1.0 must drop everything (the uint32 threshold would wrap to 0
+    and KEEP everything scaled by inf on NumPy 1.x / raise on 2.x)."""
+    import jax
+    import jax.numpy as jnp
+
+    from glow_tts_train_tpu.ops.attention import dropout
+
+    x = jnp.ones((4, 8))
+    out = dropout(jax.random.PRNGKey(0), x, 1.0, deterministic=False)
+    assert np.all(np.asarray(out) == 0.0)
+    # just-below-1 rounds to 2**32 pre-clamp; must still run and drop ~all
+    out = dropout(jax.random.PRNGKey(0), x, 1.0 - 2e-10, deterministic=False)
+    assert np.all(np.isfinite(np.asarray(out)))
 
 
 def test_make_emitter_jsonl(capsys):
