@@ -153,6 +153,13 @@ class TrainingConfig:
     # Batches to prepare (mel loads, collate, H2D transfer) ahead of the
     # device step on a background thread; 0 disables prefetch.
     prefetch_batches: int = 2
+    # Host-RAM budget for lazily-loaded .npy mels, in total cached frames
+    # (bytes ~= frames * mel_channels * 4).  The reference caches every mel
+    # forever (dataset.py:56-59) — several GB of monotonic growth at
+    # LJSpeech scale.  Least-recently-used mels are evicted past the
+    # budget; 0 disables caching (OS page cache still serves re-reads);
+    # -1 restores the reference's unbounded behavior.
+    mel_cache_frames: int = 500_000
 
     def to_dict(self) -> dict:
         d = dataclasses.asdict(self)

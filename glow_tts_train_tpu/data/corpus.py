@@ -207,6 +207,7 @@ def build_dataset(
         id_mels=mels,
         mel_dirs=mel_dirs,
         multispeaker=multispeaker,
+        cache_frames=getattr(config, "mel_cache_frames", 500_000),
     )
 
 

@@ -16,6 +16,7 @@ padding waste, and shards utterances across hosts by ``process_index``
 (the DistributedSampler equivalent, reference __main__.py:235).
 """
 
+import collections
 import csv
 import json
 import logging
@@ -86,7 +87,18 @@ def load_mels(jsonl_file: typing.TextIO) -> typing.Dict[str, np.ndarray]:
 
 
 class PhonemeMelDataset:
-    """(speaker_idx, utt_id)-keyed dataset with lazy .npy mel loading."""
+    """(speaker_idx, utt_id)-keyed dataset with lazy .npy mel loading.
+
+    Lazily-loaded mels go through a frames-budgeted LRU cache instead of
+    the reference's grow-forever dict (reference dataset.py:56-59): at
+    LJSpeech scale (~13k utts x 80 x ~800 f32) unbounded caching is
+    several GB of host RSS climbing through epoch 1, in the same process
+    as the prefetch thread's in-flight device batches.  ``cache_frames``
+    bounds the cache by total mel frames (bytes ~= frames*channels*4);
+    0 disables it (the OS page cache still makes re-reads cheap), and -1
+    keeps everything like the reference.  Eagerly-loaded JSONL mels
+    (``id_mels``) are owned by the caller and not counted.
+    """
 
     def __init__(
         self,
@@ -94,11 +106,17 @@ class PhonemeMelDataset:
         id_mels: typing.Dict[UttKey, np.ndarray],
         mel_dirs: typing.Optional[typing.Dict[int, Path]] = None,
         multispeaker: bool = False,
+        cache_frames: int = 500_000,
     ):
         self.id_phonemes = id_phonemes
         self.id_mels = dict(id_mels)
         self.mel_dirs = mel_dirs or {}
         self.multispeaker = multispeaker
+        self.cache_frames = cache_frames
+        self._mel_cache: "typing.OrderedDict[UttKey, np.ndarray]" = (
+            collections.OrderedDict()
+        )
+        self._cached_frames = 0
         self._mel_lengths: typing.Dict[UttKey, int] = {}
 
         if id_mels:
@@ -119,13 +137,31 @@ class PhonemeMelDataset:
         text = self.id_phonemes[utt_key]
         mel = self.id_mels.get(utt_key)
         if mel is None:
+            mel = self._mel_cache.get(utt_key)
+            if mel is not None:
+                self._mel_cache.move_to_end(utt_key)
+        if mel is None:
             mels_dir = self.mel_dirs.get(speaker_idx)
             assert mels_dir, f"Missing mel for id {utt_id}, but no mels_dir"
-            mel = np.load(
-                Path(mels_dir) / (utt_id + ".npy"), allow_pickle=True
-            ).astype(np.float32)
-            self.id_mels[utt_key] = mel  # cache
+            # allow_pickle=False: corpus mels are plain float arrays; pickle
+            # loading is an arbitrary-code-execution vector from an
+            # untrusted corpus (the reference passes True — a deliberate
+            # behavioral divergence, documented in MIGRATING.md)
+            mel = np.load(Path(mels_dir) / (utt_id + ".npy")).astype(np.float32)
+            self._cache_put(utt_key, mel)
         return text, mel, speaker_idx
+
+    def _cache_put(self, utt_key: UttKey, mel: np.ndarray) -> None:
+        if self.cache_frames == 0:
+            return
+        frames = int(mel.shape[1])
+        self._mel_cache[utt_key] = mel
+        self._cached_frames += frames
+        if self.cache_frames < 0:  # unbounded (reference behavior)
+            return
+        while self._cached_frames > self.cache_frames and len(self._mel_cache) > 1:
+            _, evicted = self._mel_cache.popitem(last=False)
+            self._cached_frames -= int(evicted.shape[1])
 
     def mel_length(self, utt_key: UttKey) -> int:
         """Mel frame count WITHOUT loading the mel data.

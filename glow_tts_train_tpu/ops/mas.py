@@ -69,14 +69,114 @@ def maximum_path(
     raise ValueError(f"unknown MAS impl: {impl}")
 
 
-# measured crossover (v5e, scripts/mas-sweep.py): pallas >=4.8x faster at
-# b*t_x*t_y <= 524k, parity at >= 2.6M cells
-_AUTO_PALLAS_MAX_CELLS = 1_000_000
+# Measured crossovers (cells = b*t_x*t_y) below which the fused Pallas
+# kernel beats the column scan, keyed by jax device_kind.  v5e entry from
+# the scripts/mas-sweep.py grid (BASELINE.md round 2): pallas >=4.8x faster
+# at <=524k cells, parity at >=2.6M.
+_PALLAS_MAX_CELLS_BY_KIND = {
+    "TPU v5 lite": 1_000_000,
+}
+_DEFAULT_MAX_CELLS = 1_000_000
+_calibrated_max_cells: typing.Dict[str, int] = {}
+
+# two-point calibration probes: one in the overhead-dominated regime, one
+# in the recurrence-bound regime (cells 131k / 2.6M on the v5e sweep grid)
+_CALIBRATION_PROBES = ((8, 64, 256), (32, 128, 640))
+
+
+def _pallas_max_cells() -> int:
+    """Crossover for the attached device, resolved once per process.
+
+    Known TPU kinds come from the measured table; an unknown TPU kind
+    triggers a one-shot two-point timing calibration (cached per kind).
+    Non-TPU backends keep the default: there the Pallas kernel runs in
+    interpret mode, which jits to the same XLA loop as the scan, so the
+    choice is performance-neutral and calibration would be noise.
+    """
+    if jax.default_backend() != "tpu":
+        return _DEFAULT_MAX_CELLS
+    kind = jax.devices()[0].device_kind
+    if kind in _PALLAS_MAX_CELLS_BY_KIND:
+        return _PALLAS_MAX_CELLS_BY_KIND[kind]
+    if kind not in _calibrated_max_cells:
+        _calibrated_max_cells[kind] = _calibrate_crossover()
+        import logging
+
+        logging.getLogger("glow_tts_train_tpu").info(
+            "MAS auto crossover calibrated for %s: %s cells",
+            kind,
+            _calibrated_max_cells[kind],
+        )
+    return _calibrated_max_cells[kind]
+
+
+def _time_impl(fn, logp, mask, iters: int = 8, repeats: int = 3) -> float:
+    """Best wall time of an ``iters``-chained on-device run of ``fn``."""
+    import time
+
+    @jax.jit
+    def chain(lp, m):
+        def body(x, _):
+            return x + fn(x, m) * 1e-6, None
+
+        out, _ = jax.lax.scan(body, lp, None, length=iters)
+        return out
+
+    jax.block_until_ready(chain(logp, mask))  # compile
+    best = float("inf")
+    for _ in range(repeats):
+        start = time.perf_counter()
+        jax.block_until_ready(chain(logp, mask))
+        best = min(best, time.perf_counter() - start)
+    return best
+
+
+def _crossover_from_times(
+    small_cells: int,
+    large_cells: int,
+    scan_small: float,
+    pallas_small: float,
+    scan_large: float,
+    pallas_large: float,
+) -> int:
+    """Crossover estimate from two-point timings: the kernel's win region
+    is overhead-dominated small shapes, so the decision is which probes it
+    wins, not a model fit."""
+    wins_small = pallas_small < scan_small
+    wins_large = pallas_large < scan_large
+    if wins_small and wins_large:
+        return 8 * large_cells  # kernel wins everywhere we can see
+    if wins_small:
+        return int((small_cells * large_cells) ** 0.5)  # between the probes
+    return 0  # scan wins even the small probe
+
+
+def _calibrate_crossover() -> int:
+    from .mas_pallas import _pick_chunk, maximum_path_pallas
+
+    rng = np.random.default_rng(0)
+    times = []
+    cells = []
+    for b, t_x, t_y in _CALIBRATION_PROBES:
+        if _pick_chunk(b, t_x, t_y) is None:  # kernel can't tile this probe
+            return 0
+        logp = jnp.asarray(rng.standard_normal((b, t_x, t_y)), jnp.float32)
+        mask = jnp.ones((b, t_x, t_y), jnp.float32)
+        times.append(
+            (
+                _time_impl(_maximum_path_scan, logp, mask),
+                _time_impl(maximum_path_pallas, logp, mask),
+            )
+        )
+        cells.append(b * t_x * t_y)
+    return _crossover_from_times(
+        cells[0], cells[1], times[0][0], times[0][1], times[1][0], times[1][1]
+    )
 
 
 def auto_impl(b: int, t_x: int, t_y: int) -> str:
     """Implementation choice for a given static shape (see maximum_path)."""
-    if b * t_x * t_y > _AUTO_PALLAS_MAX_CELLS:
+    if b * t_x * t_y > _pallas_max_cells():
         return "scan"
     from .mas_pallas import _pick_chunk
 

@@ -96,7 +96,7 @@ def make_emitter(numpy_dir, audio_config) -> typing.Callable[[str, np.ndarray], 
             if not utt_id:
                 utt_id = str(time.time())
             mel_path = numpy_dir / (utt_id + ".npy")
-            np.save(str(mel_path), mel, allow_pickle=True)
+            np.save(str(mel_path), mel, allow_pickle=False)
             _LOGGER.debug("Wrote %s", mel_path)
 
         return emit

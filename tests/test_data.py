@@ -117,7 +117,7 @@ def test_lazy_npy_loading(tmp_path):
     )
     text, loaded, speaker = dataset.get((0, "uttx"))
     np.testing.assert_allclose(loaded, mel)
-    assert (0, "uttx") in dataset.id_mels  # cached
+    assert (0, "uttx") in dataset._mel_cache  # cached (LRU, not id_mels)
 
 
 def test_mel_length_reads_npy_header_without_loading(tmp_path):
@@ -283,6 +283,48 @@ def test_build_dataset_rejects_mel_channel_mismatch(tmp_path):
         build_dataset(
             [SpeakerSource(0, csv, mels_dir)], config, mels_are_dirs=True
         )
+
+
+def test_mel_cache_lru_bound(tmp_path):
+    """Lazily-loaded .npy mels are cached LRU under a frames budget — the
+    reference caches every mel forever, several GB at LJSpeech scale."""
+    from glow_tts_train_tpu.data.dataset import PhonemeMelDataset
+
+    rng = np.random.default_rng(0)
+    mels_dir = tmp_path / "mels"
+    mels_dir.mkdir()
+    phonemes = {}
+    for i in range(6):
+        key = (0, f"u{i}")
+        phonemes[key] = np.asarray([1, 2, 3], np.int32)
+        np.save(mels_dir / f"u{i}.npy", rng.standard_normal((4, 10)).astype(np.float32))
+
+    ds = PhonemeMelDataset(phonemes, {}, {0: mels_dir}, cache_frames=25)
+    for i in range(6):
+        ds.get((0, f"u{i}"))
+    # 10 frames each, budget 25 -> at most 2 cached (3rd insert evicts)
+    assert len(ds._mel_cache) == 2
+    assert ds._cached_frames == 20
+    # LRU order: most recent survive
+    assert set(ds._mel_cache) == {(0, "u4"), (0, "u5")}
+    # re-get refreshes recency
+    ds.get((0, "u4"))
+    ds.get((0, "u0"))
+    assert set(ds._mel_cache) == {(0, "u4"), (0, "u0")}
+
+    # cache_frames=0 disables caching entirely
+    ds0 = PhonemeMelDataset(phonemes, {}, {0: mels_dir}, cache_frames=0)
+    ds0.get((0, "u0"))
+    assert len(ds0._mel_cache) == 0
+
+    # -1 keeps everything (reference behavior)
+    dsu = PhonemeMelDataset(phonemes, {}, {0: mels_dir}, cache_frames=-1)
+    for i in range(6):
+        dsu.get((0, f"u{i}"))
+    assert len(dsu._mel_cache) == 6
+
+    # loads are identical regardless of cache policy
+    np.testing.assert_array_equal(ds.get((0, "u1"))[1], dsu.get((0, "u1"))[1])
 
 
 def test_build_dataset_rejects_mixed_mel_channels(tmp_path):

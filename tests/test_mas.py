@@ -131,3 +131,54 @@ def test_auto_impl_selection_and_equivalence():
     p_auto = mas.maximum_path(logp, mask, impl="auto")
     p_scan = mas.maximum_path(logp, mask, impl="scan")
     np.testing.assert_array_equal(np.asarray(p_auto), np.asarray(p_scan))
+
+
+def test_auto_crossover_portability(monkeypatch):
+    """The auto crossover resolves per device kind: a table hit for known
+    kinds, a one-shot cached calibration for unknown TPU generations (the
+    old code hardcoded the v5e constant for every device)."""
+    from glow_tts_train_tpu.ops import mas
+
+    # decision function: which probes the kernel wins decides the estimate
+    big = mas._crossover_from_times(131072, 2621440, 1.0, 0.5, 1.0, 0.5)
+    assert big == 8 * 2621440
+    mid = mas._crossover_from_times(131072, 2621440, 1.0, 0.5, 0.5, 1.0)
+    assert 131072 < mid < 2621440
+    assert mas._crossover_from_times(131072, 2621440, 0.5, 1.0, 0.5, 1.0) == 0
+
+    # unknown TPU kind: calibration runs exactly once, result is cached
+    calls = []
+
+    class FakeDev:
+        device_kind = "TPU v99"
+
+    monkeypatch.setattr(mas.jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(mas.jax, "devices", lambda: [FakeDev()])
+    monkeypatch.setattr(
+        mas, "_calibrate_crossover", lambda: (calls.append(1), 123456)[1]
+    )
+    mas._calibrated_max_cells.clear()
+    try:
+        assert mas._pallas_max_cells() == 123456
+        assert mas._pallas_max_cells() == 123456
+        assert calls == [1]
+
+        # known kind: straight table hit, no calibration
+        class V5e:
+            device_kind = "TPU v5 lite"
+
+        monkeypatch.setattr(mas.jax, "devices", lambda: [V5e()])
+        assert mas._pallas_max_cells() == 1_000_000
+        assert calls == [1]
+    finally:
+        mas._calibrated_max_cells.clear()
+
+
+def test_auto_crossover_calibration_executes(monkeypatch):
+    """The timing calibration itself runs end-to-end (tiny probes; CPU
+    interpret mode) and returns a non-negative cell count."""
+    from glow_tts_train_tpu.ops import mas
+
+    monkeypatch.setattr(mas, "_CALIBRATION_PROBES", ((2, 8, 16), (4, 16, 32)))
+    out = mas._calibrate_crossover()
+    assert isinstance(out, int) and out >= 0
