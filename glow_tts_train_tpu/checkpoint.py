@@ -373,7 +373,12 @@ def load_checkpoint(
 
 
 def _t(a) -> np.ndarray:
-    return np.ascontiguousarray(a.detach().cpu().numpy())
+    # copy=True: .numpy() VIEWS the torch storage, and jax's CPU backend
+    # zero-copies aligned numpy buffers — importing from a live nn.Module
+    # would otherwise alias its parameters, and a later torch
+    # optimizer.step() would silently mutate our "imported" params
+    # (ascontiguousarray alone does not copy already-contiguous arrays)
+    return np.array(a.detach().cpu().numpy(), copy=True)
 
 
 def _conv_w(a) -> np.ndarray:

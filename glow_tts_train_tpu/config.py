@@ -136,8 +136,10 @@ class TrainingConfig:
     unroll_blocks: bool = False
     # Rematerialize flow-block activations in backward (jax.checkpoint):
     # True/"full" recomputes whole blocks (~9% faster step on v5e — recompute
-    # beats storing residuals), "dots" stores conv/matmul outputs and
-    # recomputes only elementwise ops, False/"none" stores everything.
+    # beats storing residuals), "xin" stores only the k-wide in_layer conv
+    # outputs (recompute skips 83% of WN conv FLOPs; measured ~even at b=32,
+    # 2% slower at b=128 where the step is HBM-bound — scripts/remat-ab.py),
+    # "dots" stores all conv/matmul outputs, False/"none" stores everything.
     remat_blocks: typing.Union[bool, str] = True
     # Rematerialize encoder attention layers too. Off by default: measured
     # -2% at b=32 (the encoder stores little) and +0.8% at b=128; enable

@@ -23,6 +23,7 @@ import typing
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.ad_checkpoint import checkpoint_name
 
 from .conv import (
     conv1d,
@@ -271,7 +272,11 @@ def wn_apply(
     for i in range(n_layers):
         dilation = dilation_rate ** i
         in_p = jax.tree_util.tree_map(lambda a: a[i], params["in_layers"])
-        x_in = conv1d(x, in_p, dilation=dilation)
+        # named for the "xin" remat policy: the k-wide in_layer convs are
+        # ~83% of the WN stack's conv FLOPs, so saving exactly these
+        # outputs lets backward's block recompute do only 1x1 convs and
+        # elementwise work (see DecoderHyper.remat)
+        x_in = checkpoint_name(conv1d(x, in_p, dilation=dilation), "wn_xin")
         if rng is not None:
             x_in = dropout(jax.random.fold_in(rng, i), x_in, p_dropout, deterministic)
         if g_all is not None:
@@ -458,8 +463,8 @@ def decoder_fwd(
         )
         return (x, logdet_tot + ld1 + ld2 + ld3, i + 1), None
 
-    assert hp.remat in (True, False, "full", "dots", "none"), (
-        f"remat_blocks must be true/false/'full'/'dots'/'none', got "
+    assert hp.remat in (True, False, "full", "dots", "xin", "none"), (
+        f"remat_blocks must be true/false/'full'/'dots'/'xin'/'none', got "
         f"{hp.remat!r}"
     )
     if hp.remat and hp.remat != "none":
@@ -467,9 +472,15 @@ def decoder_fwd(
         # reproduces them) in backward instead of storing 12 blocks'
         # residuals: ~9% faster step on v5e, HBM-traffic bound.  "dots"
         # keeps conv/matmul outputs and recomputes only elementwise ops.
-        policy = (
-            jax.checkpoint_policies.dots_saveable if hp.remat == "dots" else None
-        )
+        # "xin" keeps ONLY the k-wide in_layer conv outputs (the expensive
+        # 83% of WN conv FLOPs) so the backward recompute is 1x1 convs +
+        # elementwise — a middle point between "full" (recompute all) and
+        # "dots" (store all matmul outputs).
+        policy = None
+        if hp.remat == "dots":
+            policy = jax.checkpoint_policies.dots_saveable
+        elif hp.remat == "xin":
+            policy = jax.checkpoint_policies.save_only_these_names("wn_xin")
         block = jax.checkpoint(_block_body, policy=policy)
 
     b = x.shape[0]

@@ -493,3 +493,124 @@ def test_torch_adam_state_imports(reference_models, tmp_path):
     step_fn = training.make_train_step(config, donate=False)
     _, metrics = step_fn(state, batch, jax.random.PRNGKey(0))
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_training_trajectory(reference_models):
+    """N optimization steps of this framework track N steps of the torch
+    reference: identical initial weights (importer), identical data and
+    hyperparameters, fp32 on CPU, dropout off (independent RNGs would
+    diverge by construction).  This pins losses + value-clip + Adam + Noam
+    + MAS *jointly* — the one semantic surface single-step tests miss:
+    reference train.py:91-150 (step), optimize.py:32-55 (Noam-Adam),
+    utils.py:118-132 (value clip).
+
+    MAS tie-breaks could legitimately diverge on exact float ties; none
+    occur at these sizes (the forward-parity test asserts identical
+    alignments from identical weights, and the tolerance below fails on
+    any systematic drift).
+    """
+    import dataclasses
+
+    from glow_tts_train_tpu import training
+    from glow_tts_train_tpu.optimize import make_optimizer
+
+    sys.path.insert(0, REFERENCE_PATH) if REFERENCE_PATH not in sys.path else None
+    from glow_tts_train import optimize as ref_optimize
+    from glow_tts_train.utils import (
+        clip_grad_value_ as ref_clip,
+        duration_loss as ref_duration_loss,
+        mle_loss as ref_mle_loss,
+    )
+
+    n_steps = 30
+    # prenet=False: the reference hardcodes p=0.5 dropout inside the prenet
+    # (models.py:100) — its zero-init projection makes the FORWARD
+    # dropout-invariant at init, but grad(proj.w) depends on the dropout
+    # masks, so "p_dropout=0" configs still carry hidden randomness that
+    # would diverge the two frameworks' trajectories by construction.
+    config = tiny_config(p_dropout=0.0, p_dropout_dec=0.0, prenet=False)
+    # eps=1e-3 (not the 1e-9 default): Adam's g/(sqrt(v)+eps) amplifies any
+    # round-off-dominated gradient element to a FULL +-lr step with an
+    # implementation-dependent sign — e.g. the attention key bias, whose
+    # true gradient is exactly zero by softmax shift-invariance, draws its
+    # fp32 round-off sign from conv summation order.  A larger eps keeps
+    # those elements near zero without touching real gradients (O(0.1-1)),
+    # so the tolerance below stays tight enough to catch genuine semantic
+    # drift (wrong clip, schedule off-by-one, beta/bias-correction bugs).
+    config = dataclasses.replace(config, warmup_steps=15, eps=1e-3)
+    ref, params = build_pair(reference_models, config)
+    ref.train()
+
+    ref_opt = ref_optimize.Adam(
+        ref.parameters(),
+        scheduler=config.scheduler,
+        dim_model=config.model.hidden_channels,
+        warmup_steps=config.warmup_steps,
+        lr=config.learning_rate,
+        betas=config.betas,
+        eps=config.eps,
+    )
+
+    # two alternating batches: lr schedule + moments interact with data
+    batches = [make_inputs(config, seed=s) for s in (1, 2)]
+
+    tx = make_optimizer(config)
+    state = training.TrainState(
+        params, jax.jit(tx.init)(params), jnp.asarray(1, jnp.int32)
+    )
+    step_fn = training.make_train_step(config, donate=False)
+
+    losses_t, losses_j, lrs_t, lrs_j = [], [], [], []
+    from glow_tts_train_tpu.optimize import current_lr
+
+    for step in range(n_steps):
+        x, x_lengths, y, y_lengths = batches[step % len(batches)]
+
+        # --- reference step (train.py:116-146, fp32 path) ---
+        ref_opt.zero_grad()
+        (
+            (z, z_m, z_logs, logdet, z_mask),
+            _,
+            (_, logw, logw_),
+        ) = ref(
+            torch.from_numpy(x),
+            torch.from_numpy(x_lengths),
+            torch.from_numpy(y),
+            torch.from_numpy(y_lengths),
+        )
+        loss_t = ref_mle_loss(z, z_m, z_logs, logdet, z_mask) + ref_duration_loss(
+            logw, logw_, torch.from_numpy(x_lengths)
+        )
+        lrs_t.append(ref_opt.get_lr())
+        loss_t.backward()
+        ref_clip(ref.parameters(), config.grad_clip)
+        ref_opt.step()
+        losses_t.append(float(loss_t))
+
+        # --- our step ---
+        batch = {
+            "x": jnp.asarray(x, jnp.int32),
+            "x_lengths": jnp.asarray(x_lengths, jnp.int32),
+            "y": jnp.asarray(y.transpose(0, 2, 1)),
+            "y_lengths": jnp.asarray(y_lengths, jnp.int32),
+        }
+        lrs_j.append(current_lr(config, int(state.step)))
+        state, metrics = step_fn(state, batch, jax.random.PRNGKey(step))
+        losses_j.append(float(metrics["loss"]))
+
+    losses_t = np.asarray(losses_t)
+    losses_j = np.asarray(losses_j)
+    # the schedules must agree exactly (same closed form, same indexing)
+    np.testing.assert_allclose(lrs_j, lrs_t, rtol=1e-6)
+    # loss must actually move for the comparison to mean anything
+    assert losses_t[-1] < losses_t[0] - 0.1
+    # per-step tracking: fp32 round-off compounds through the moments, so
+    # the budget grows linearly with step; any real semantic drift (wrong
+    # clip, schedule off-by-one, moment decay mismatch) blows through it
+    # within a few steps
+    budget = 5e-4 * (1.0 + np.arange(n_steps))
+    err = np.abs(losses_j - losses_t)
+    assert (err <= budget).all(), (
+        f"trajectory diverged: max err {err.max():.2e} at step {err.argmax()}"
+        f"\nref  {losses_t[:8]}\nours {losses_j[:8]}"
+    )

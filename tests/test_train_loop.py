@@ -98,7 +98,7 @@ def test_remat_strategies_numerically_identical():
 
     rng = np.random.default_rng(5)
     losses, grad_norms = [], []
-    for remat in (True, "dots", "none"):
+    for remat in (True, "xin", "dots", "none"):
         config = dataclasses.replace(tiny_config(), remat_blocks=remat)
         batch = random_batch(config, np.random.default_rng(7))
         state = training.create_state(config, jax.random.PRNGKey(0))
