@@ -68,6 +68,16 @@ def main():
         help="Run on a single device without a sharding mesh",
     )
     parser.add_argument(
+        "--model-parallel",
+        type=int,
+        default=1,
+        metavar="M",
+        help="Tensor parallelism: build a 2-D (data, model) mesh of shape "
+        "(n_devices/M, M); weights and Adam moments shard over the model "
+        "axis, activations reshard via compiler-inserted collectives "
+        "(parallel/partitioning.py).  Default 1 = pure data parallelism",
+    )
+    parser.add_argument(
         "--mas-impl",
         default="auto",
         choices=("auto", "scan", "pallas"),
@@ -223,13 +233,23 @@ def main():
     if args.batch_size is not None:
         config.batch_size = args.batch_size
 
-    mesh = None if args.no_mesh else default_mesh(config.mesh_axis)
-    if mesh is not None:
-        n_dev = mesh.devices.size
-        assert batch_size % n_dev == 0, (
-            f"batch_size {batch_size} must divide evenly over {n_dev} devices"
+    if args.no_mesh:
+        assert args.model_parallel <= 1, "--model-parallel requires a mesh"
+        mesh = None
+    else:
+        mesh = default_mesh(
+            config.mesh_axis, model_parallel=args.model_parallel
         )
-        _LOGGER.info("Mesh: %s devices on axis %r", n_dev, config.mesh_axis)
+        n_data = mesh.shape[config.mesh_axis]
+        assert batch_size % n_data == 0, (
+            f"batch_size {batch_size} must divide evenly over {n_data} "
+            f"data-parallel mesh rows"
+        )
+        _LOGGER.info(
+            "Mesh: %s devices, shape %s",
+            mesh.devices.size,
+            dict(mesh.shape),
+        )
 
     # batch_size is the GLOBAL batch; each host loads its share and the
     # global array is assembled across processes (parallel/mesh.py).  The

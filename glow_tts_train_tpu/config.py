@@ -155,6 +155,12 @@ class TrainingConfig:
     # Batches to prepare (mel loads, collate, H2D transfer) ahead of the
     # device step on a background thread; 0 disables prefetch.
     prefetch_batches: int = 2
+    # WN gated-stack implementation inside each coupling block: "xla"
+    # (op-by-op, XLA-fused) or "pallas" (the whole n_block_layers stack as
+    # one fused VMEM kernel with a custom-VJP backward, ops/wn_pallas.py —
+    # cuts the stack's HBM traffic ~4x; its dropout uses the TPU hardware
+    # PRNG, a different stream with the same statistics).
+    wn_impl: str = "xla"
     # Host-RAM budget for lazily-loaded .npy mels, in total cached frames
     # (bytes ~= frames * mel_channels * 4).  The reference caches every mel
     # forever (dataset.py:56-59) — several GB of monotonic growth at

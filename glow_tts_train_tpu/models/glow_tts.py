@@ -80,6 +80,7 @@ class GlowTTSHyper(typing.NamedTuple):
     unroll: bool = False
     remat: bool = True
     remat_encoder: bool = False
+    wn_impl: str = "xla"
 
     @property
     def h_enc(self) -> int:
@@ -105,6 +106,7 @@ class GlowTTSHyper(typing.NamedTuple):
             gin_channels=self.gin_channels,
             unroll=self.unroll,
             remat=self.remat,
+            wn_impl=self.wn_impl,
         )
 
 
@@ -140,6 +142,7 @@ def hyper_from_config(config: TrainingConfig) -> GlowTTSHyper:
         unroll=config.unroll_blocks,
         remat=config.remat_blocks,
         remat_encoder=config.remat_encoder,
+        wn_impl=getattr(config, "wn_impl", "xla"),
     )
 
 

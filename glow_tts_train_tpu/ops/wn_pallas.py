@@ -1,0 +1,481 @@
+"""Fused Pallas kernel for the WN (WaveNet-style) gated conv stack.
+
+Why: the roofline model (utils/roofline.py, BASELINE.md round 3) shows the
+train step is HBM-bound — the flow decoder's WN stacks account for ~89% of
+the step's HBM bytes, and each WN layer crosses five XLA op boundaries
+(k-wide conv → dropout → gated tanh·sigmoid → 1x1 conv → residual/skip
+split), materializing ~14 h-sized HBM passes per layer.  This kernel runs
+the ENTIRE n_layers stack for one sample in VMEM: HBM traffic collapses to
+read x + write skip (+ weights), ~4 h-sized passes per stack.
+
+Semantics are wn_apply's exactly (reference layers.py:83-170, WN.forward
+:138-162): per layer
+    x_in = drop(dilated_conv_k(x))              # bias inside the conv
+    acts = tanh((x_in+g)[:h]) * sigmoid((x_in+g)[h:])
+    rs   = conv_1x1(acts)
+    x    = (x + rs[:h]) * mask;  skip += rs[h:]   (last layer: skip += rs)
+and the caller applies the final ``* x_mask``.  The last layer's h-wide
+res_skip conv is zero-padded to 2h on the res half so the loop body is
+uniform (the padded half contributes nothing to any gradient).
+
+The convolution is im2col (K time-shifted copies concatenated on the
+channel axis) followed by one [t, K·h] x [K·h, 2h] MXU matmul — the same
+K-deep contraction XLA's conv lowering uses.
+
+Backward is a second Pallas kernel (custom VJP): it recomputes the forward
+layer inputs in VMEM (storing only the L layer inputs — [t, h] each), then
+walks the layers in reverse producing dx, dW, db, dg with weight-gradient
+accumulators resident in VMEM across the batch grid.  Dropout masks are
+regenerated bit-identically via the TPU PRNG seeded per (sample, layer).
+
+Weight-norm folding (g·v/||v||) happens OUTSIDE the kernel in plain JAX, so
+its gradient is handled by autodiff and the kernel sees direct weights.
+
+Note on dropout RNG: the Pallas path draws its masks from the TPU hardware
+PRNG, a DIFFERENT stream than the XLA path's jax.random bits — training
+statistics are identical, exact values are not; equivalence tests compare
+with dropout off.
+"""
+
+import functools
+import typing
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Params = typing.Dict[str, typing.Any]
+
+
+def _shifted(arr: jnp.ndarray, off: int, t: int) -> jnp.ndarray:
+    """out[s] = arr[s + off] with zeros outside [0, t) (conv 'same' pad).
+
+    Mosaic's sublane rotate only supports 32-bit element types, and its
+    concatenate refuses sublane-misaligned pieces — so bf16 data round-trips
+    through f32 for the roll (two VPU casts, negligible next to the MXU
+    work) and circular wrap is zeroed with an iota mask."""
+    if off == 0:
+        return arr
+    dtype = arr.dtype
+    work = arr if arr.dtype.itemsize == 4 else arr.astype(jnp.float32)
+    rolled = pltpu.roll(work, shift=(-off) % t, axis=0)
+    rows = jax.lax.broadcasted_iota(jnp.int32, arr.shape, 0)
+    if off > 0:
+        out = jnp.where(rows < t - off, rolled, jnp.zeros_like(rolled))
+    else:
+        out = jnp.where(rows >= -off, rolled, jnp.zeros_like(rolled))
+    return out.astype(dtype)
+
+
+def _im2col(x: jnp.ndarray, offsets, t: int) -> jnp.ndarray:
+    """[t, h] -> [t, K*h], tap-major column blocks (matches W reshape)."""
+    return jnp.concatenate([_shifted(x, off, t) for off in offsets], axis=1)
+
+
+def _offsets(kernel_size: int, dilation: int):
+    return tuple(dilation * (k - kernel_size // 2) for k in range(kernel_size))
+
+
+def _layer_fwd(xcur, l, refs, st, *, want_xin=False):
+    """Shared forward math for one WN layer; returns (x_next, skip_inc, ...)."""
+    (win_ref, bin_ref, wrs_ref, brs_ref, g_ref, mask) = refs
+    t, h = xcur.shape
+    dtype = xcur.dtype
+    cols = _im2col(xcur, st["offs"][l], t)
+    # gated math stays f32: the matmul accumulates f32 anyway, and Mosaic
+    # rejects bf16 transcendentals' internal f32-constant broadcasts
+    xin = (
+        jnp.dot(cols, win_ref[l], preferred_element_type=jnp.float32)
+        + bin_ref[l].astype(jnp.float32)[None, :]
+    )
+    keep = None
+    if st["drop_threshold"] is not None:
+        pltpu.prng_seed(st["seed"] * np.int32(st["n_layers"]) + np.int32(l))
+        bits = pltpu.prng_random_bits(xin.shape)
+        keep = pltpu.bitcast(bits, jnp.uint32) >= st["drop_threshold"]
+        xin = jnp.where(
+            keep, xin * np.float32(st["drop_scale"]), jnp.zeros_like(xin)
+        )
+    in_act = xin + g_ref[0, l].astype(jnp.float32)[None, :]
+    u, v = in_act[:, :h], in_act[:, h:]
+    th, sg = jnp.tanh(u), jax.nn.sigmoid(v)
+    acts = (th * sg).astype(dtype)
+    rs = (
+        jnp.dot(acts, wrs_ref[l], preferred_element_type=jnp.float32)
+        + brs_ref[l].astype(jnp.float32)[None, :]
+    ).astype(dtype)
+    x_next = (xcur + rs[:, :h]) * mask
+    if want_xin:
+        return x_next, rs[:, h:], acts, th, sg, keep
+    return x_next, rs[:, h:]
+
+
+def _fwd_kernel(seed_ref, x_ref, mask_ref, win_ref, bin_ref, wrs_ref, brs_ref,
+                g_ref, out_ref, *, st):
+    t, h = x_ref.shape[1], x_ref.shape[2]
+    xcur = x_ref[0]
+    mask = mask_ref[0]  # [t, 1]
+    skip = jnp.zeros((t, h), jnp.float32)
+    st = dict(st, seed=seed_ref[0] + pl.program_id(0))
+    refs = (win_ref, bin_ref, wrs_ref, brs_ref, g_ref, mask)
+    for l in range(st["n_layers"]):
+        xcur, skip_inc = _layer_fwd(xcur, l, refs, st)
+        skip = skip + skip_inc.astype(jnp.float32)
+    out_ref[0] = skip.astype(out_ref.dtype)
+
+
+def _bwd_kernel(seed_ref, x_ref, mask_ref, win_ref, bin_ref, wrs_ref, brs_ref,
+                g_ref, dout_ref,
+                dx_ref, dwin_ref, dbin_ref, dwrs_ref, dbrs_ref, dg_ref,
+                xs_ref, *, st):
+    t, h = x_ref.shape[1], x_ref.shape[2]
+    L = st["n_layers"]
+    dtype = x_ref.dtype
+    mask = mask_ref[0]
+    st = dict(st, seed=seed_ref[0] + pl.program_id(0))
+    refs = (win_ref, bin_ref, wrs_ref, brs_ref, g_ref, mask)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _zero_accumulators():
+        dwin_ref[...] = jnp.zeros_like(dwin_ref)
+        dbin_ref[...] = jnp.zeros_like(dbin_ref)
+        dwrs_ref[...] = jnp.zeros_like(dwrs_ref)
+        dbrs_ref[...] = jnp.zeros_like(dbrs_ref)
+
+    # ---- forward recompute: store each layer's INPUT (xs[l]) ----
+    xcur = x_ref[0]
+    for l in range(L):
+        xs_ref[l] = xcur
+        xcur, _ = _layer_fwd(xcur, l, refs, st)
+
+    # ---- reverse walk ----
+    g_skip = dout_ref[0].astype(jnp.float32)  # [t, h], same for every layer
+    g_x = jnp.zeros((t, h), jnp.float32)
+    for l in range(L - 1, -1, -1):
+        x_l = xs_ref[l]
+        _, _, acts, th, sg, keep = _layer_fwd(x_l, l, refs, st, want_xin=True)
+        # rs cotangent: res half feeds x_{l+1} = (x_l + rs[:h]) * mask,
+        # skip half feeds the output sum (padded last layer: res-half
+        # weights are zero so its g_rs[:h] contributes nothing)
+        g_rs = jnp.concatenate([g_x * mask.astype(jnp.float32), g_skip], axis=1)
+        da = jnp.dot(
+            g_rs.astype(dtype), wrs_ref[l].T, preferred_element_type=jnp.float32
+        )
+        dwrs_ref[l] += jnp.dot(
+            acts.T, g_rs.astype(dtype), preferred_element_type=jnp.float32
+        )
+        dbrs_ref[l] += jnp.sum(g_rs, axis=0)
+        # gated activation: acts = tanh(u) * sigmoid(v)
+        du = da * (sg * (1.0 - th * th)).astype(jnp.float32)
+        dv = da * (th * sg * (1.0 - sg)).astype(jnp.float32)
+        d_in_act = jnp.concatenate([du, dv], axis=1)  # [t, 2h] f32
+        dg_ref[0, l] = jnp.sum(d_in_act, axis=0).astype(dg_ref.dtype)
+        d_xin = d_in_act
+        if st["drop_threshold"] is not None:
+            d_xin = jnp.where(
+                keep, d_xin * np.float32(st["drop_scale"]), jnp.zeros_like(d_xin)
+            )
+        cols = _im2col(x_l, st["offs"][l], t)
+        dwin_ref[l] += jnp.dot(
+            cols.T, d_xin.astype(dtype), preferred_element_type=jnp.float32
+        )
+        dbin_ref[l] += jnp.sum(d_xin, axis=0)
+        # conv transpose: fwd gathered x[s+off], so cotangent scatters back
+        d_cols = jnp.dot(
+            d_xin.astype(dtype), win_ref[l].T, preferred_element_type=jnp.float32
+        )  # [t, K*h]
+        dx_conv = jnp.zeros((t, h), jnp.float32)
+        for k, off in enumerate(st["offs"][l]):
+            dx_conv = dx_conv + _shifted(
+                d_cols[:, k * h : (k + 1) * h], -off, t
+            )
+        g_x = g_x * mask.astype(jnp.float32) + dx_conv
+    dx_ref[0] = g_x.astype(dx_ref.dtype)
+
+
+def _specs():
+    """BlockSpec builders: const = resident across the batch grid (weights,
+    accumulators); per_b = one sample per grid step."""
+    # index maps receive (grid index, *scalar-prefetch refs)
+    const = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda i, *_: tuple(0 for _ in shape), memory_space=pltpu.VMEM
+    )
+    per_b = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda i, *_: (i,) + tuple(0 for _ in shape[1:]),
+        memory_space=pltpu.VMEM,
+    )
+    return const, per_b
+
+
+def _wn_pallas_call(
+    W_in, b_in, W_rs, b_rs, x, x_mask, g_all, seed_f,
+    *, st, interpret, with_grad=False, dout=None
+):
+    b, t, h = x.shape
+    L = st["n_layers"]
+    Kh = W_in.shape[1]
+    const, per_b = _specs()
+
+    in_specs = [
+        per_b((1, t, h)),        # x
+        per_b((1, t, 1)),        # mask
+        const((L, Kh, 2 * h)),   # W_in
+        const((L, 2 * h)),       # b_in
+        const((L, h, 2 * h)),    # W_rs
+        const((L, 2 * h)),       # b_rs
+        per_b((1, L, 2 * h)),    # g
+    ]
+    args = [x, x_mask, W_in, b_in, W_rs, b_rs, g_all]
+    grid_spec = None
+
+    if not with_grad:
+        kernel = functools.partial(_fwd_kernel, st=st)
+        return pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(b,),
+                in_specs=in_specs,
+                out_specs=per_b((1, t, h)),
+            ),
+            out_shape=jax.ShapeDtypeStruct((b, t, h), x.dtype),
+            interpret=interpret,
+        )(seed_f, *args)
+
+    kernel = functools.partial(_bwd_kernel, st=st)
+    out_shapes = (
+        jax.ShapeDtypeStruct((b, t, h), x.dtype),          # dx
+        jax.ShapeDtypeStruct((L, Kh, 2 * h), jnp.float32),  # dW_in
+        jax.ShapeDtypeStruct((L, 2 * h), jnp.float32),      # db_in
+        jax.ShapeDtypeStruct((L, h, 2 * h), jnp.float32),   # dW_rs
+        jax.ShapeDtypeStruct((L, 2 * h), jnp.float32),      # db_rs
+        jax.ShapeDtypeStruct((b, L, 2 * h), jnp.float32),   # dg
+    )
+    out_specs = (
+        per_b((1, t, h)),
+        const((L, Kh, 2 * h)),
+        const((L, 2 * h)),
+        const((L, h, 2 * h)),
+        const((L, 2 * h)),
+        per_b((1, L, 2 * h)),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b,),
+            in_specs=in_specs + [per_b((1, t, h))],  # + dout
+            out_specs=out_specs,
+            scratch_shapes=[pltpu.VMEM((L, t, h), x.dtype)],  # xs
+        ),
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(seed_f, *args, dout)
+
+
+def wn_stack_fused(
+    W_in, b_in, W_rs, b_rs, x, x_mask, g_all, seed,
+    *, kernel_size, dilation_rate, n_layers, p_dropout, deterministic,
+    interpret=None,
+):
+    """Differentiable fused WN stack.  Direct (folded) weights:
+
+    W_in [L, K*h, 2h] (tap-major rows), b_in [L, 2h], W_rs [L, h, 2h]
+    (last layer res-half zero), b_rs [L, 2h]; x [b, t, h]; x_mask [b, t, 1];
+    g_all [b, L, 2h] (zeros when unconditioned); seed int32 scalar.
+    Returns skip [b, t, h] (caller applies the final mask).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    drop = (not deterministic) and p_dropout > 0.0
+    st = {
+        "n_layers": n_layers,
+        "offs": tuple(
+            _offsets(kernel_size, dilation_rate ** l) for l in range(n_layers)
+        ),
+        "drop_threshold": (
+            np.uint32(min(round(p_dropout * 2 ** 32), 2 ** 32 - 1)) if drop else None
+        ),
+        "drop_scale": (1.0 / (1.0 - p_dropout)) if drop else 1.0,
+    }
+    seed_f = jnp.asarray(seed, jnp.int32).reshape((1,))
+    f = _make_fused_fn(_StaticKey(st_tuple(st), interpret))
+    return f(W_in, b_in, W_rs, b_rs, x, x_mask, g_all, seed_f)
+
+
+def st_tuple(st: dict) -> tuple:
+    return (
+        st["n_layers"],
+        st["offs"],
+        st["drop_threshold"],
+        st["drop_scale"],
+    )
+
+
+class _StaticKey(typing.NamedTuple):
+    st: tuple
+    interpret: bool
+
+    def as_dict(self) -> dict:
+        n_layers, offs, thr, scale = self.st
+        return {
+            "n_layers": n_layers,
+            "offs": offs,
+            "drop_threshold": thr,
+            "drop_scale": scale,
+        }
+
+
+@functools.lru_cache(maxsize=None)
+def _make_fused_fn(key: "_StaticKey"):
+    """custom_vjp function per static config.  The dropout seed is a real
+    ARGUMENT (int32, float0 cotangent), not a closure capture — closing
+    over a traced value inside custom_vjp breaks under remat/scan."""
+    st = key.as_dict()
+    interpret = key.interpret
+
+    @jax.custom_vjp
+    def f(W_in, b_in, W_rs, b_rs, x, x_mask, g_all, seed_f):
+        return _wn_pallas_call(
+            W_in, b_in, W_rs, b_rs, x, x_mask, g_all, seed_f,
+            st=st, interpret=interpret,
+        )
+
+    def f_fwd(W_in, b_in, W_rs, b_rs, x, x_mask, g_all, seed_f):
+        out = f(W_in, b_in, W_rs, b_rs, x, x_mask, g_all, seed_f)
+        return out, (W_in, b_in, W_rs, b_rs, x, x_mask, g_all, seed_f)
+
+    def f_bwd(res, dout):
+        W_in, b_in, W_rs, b_rs, x, x_mask, g_all, seed_f = res
+        dx, dwin, dbin, dwrs, dbrs, dg = _wn_pallas_call(
+            W_in, b_in, W_rs, b_rs, x, x_mask, g_all, seed_f,
+            st=st, interpret=interpret, with_grad=True, dout=dout,
+        )
+        return (
+            dwin.astype(W_in.dtype),
+            dbin.astype(b_in.dtype),
+            dwrs.astype(W_rs.dtype),
+            dbrs.astype(b_rs.dtype),
+            dx,
+            jnp.zeros_like(x_mask),
+            dg.astype(g_all.dtype),
+            np.zeros(seed_f.shape, dtype=jax.dtypes.float0),
+        )
+
+    f.defvjp(f_fwd, f_bwd)
+    return f
+
+
+def fold_wn_weights(params: Params, n_layers: int, dtype) -> tuple:
+    """Stacked WN params (wn_init layout) -> direct kernel weights.
+
+    Weight-norm folds in fp32 via plain JAX (autodiff handles its VJP);
+    the last layer's h-wide res_skip conv is padded to 2h on the res half.
+    """
+    from .conv import weight_norm_effective
+
+    def fold(p):
+        if "v" in p:
+            return weight_norm_effective(p), p["b"]
+        return p["w"], p["b"]
+
+    # fold per layer explicitly (L is tiny and static); weight_norm's
+    # reduction axes are fixed to the unstacked [k, c_in, c_out] layout
+    in_stack = params["in_layers"]
+    L_in = jax.tree_util.tree_leaves(in_stack)[0].shape[0]
+    w_list, b_list = [], []
+    for l in range(L_in):
+        p = jax.tree_util.tree_map(lambda a: a[l], in_stack)
+        w, bb = fold(p)
+        K, h, h2 = w.shape
+        w_list.append(w.reshape(K * h, h2))
+        b_list.append(bb)
+    W_in = jnp.stack(w_list).astype(dtype)
+    b_in = jnp.stack(b_list).astype(jnp.float32)
+
+    rs_list, rb_list = [], []
+    if n_layers > 1:
+        rs_stack = params["res_skip"]
+        for l in range(n_layers - 1):
+            p = jax.tree_util.tree_map(lambda a: a[l], rs_stack)
+            w, bb = fold(p)
+            rs_list.append(w[0])  # [h, 2h]
+            rb_list.append(bb)
+    w_last, b_last = fold(params["res_skip_last"])
+    h = w_last.shape[1]
+    rs_list.append(
+        jnp.concatenate([jnp.zeros((h, h), w_last.dtype), w_last[0]], axis=1)
+    )
+    rb_list.append(jnp.concatenate([jnp.zeros((h,), b_last.dtype), b_last]))
+    W_rs = jnp.stack(rs_list).astype(dtype)
+    b_rs = jnp.stack(rb_list).astype(jnp.float32)
+    return W_in, b_in, W_rs, b_rs
+
+
+def wn_apply_pallas(
+    params: Params,
+    x: jnp.ndarray,
+    x_mask: jnp.ndarray,
+    g: typing.Optional[jnp.ndarray],
+    hidden_channels: int,
+    dilation_rate: int,
+    n_layers: int,
+    p_dropout: float = 0.0,
+    rng: typing.Optional[jax.Array] = None,
+    deterministic: bool = True,
+) -> jnp.ndarray:
+    """Drop-in fused replacement for ops.flows.wn_apply (same signature)."""
+    from .conv import conv1d
+
+    if (
+        rng is not None
+        and not deterministic
+        and p_dropout > 0.0
+        and jax.default_backend() != "tpu"
+    ):
+        # interpret mode has no lowering for the TPU PRNG primitives; the
+        # XLA path is the same math with a different dropout stream
+        from .flows import wn_apply
+
+        return wn_apply(
+            params, x, x_mask, g, hidden_channels, dilation_rate, n_layers,
+            p_dropout=p_dropout, rng=rng, deterministic=deterministic,
+        )
+
+    h = hidden_channels
+    b, t, _ = x.shape
+    W_in, b_in, W_rs, b_rs = fold_wn_weights(params, n_layers, x.dtype)
+
+    if g is not None:
+        g_all = conv1d(g, params["cond"]).astype(x.dtype)  # [b, 1, 2h*L]
+        g_all = g_all.reshape(b, n_layers, 2 * h)
+    else:
+        g_all = jnp.zeros((b, n_layers, 2 * h), x.dtype)
+
+    if rng is not None and not deterministic and p_dropout > 0.0:
+        # one int32 seed per call; the kernel folds in (sample, layer)
+        seed = jax.random.randint(
+            rng, (), minval=0, maxval=np.int32(2 ** 31 - 1), dtype=jnp.int32
+        )
+        det = False
+    else:
+        seed = jnp.zeros((), jnp.int32)
+        det = True
+
+    mask = jnp.broadcast_to(x_mask.astype(x.dtype), (b, t, 1))
+    out = wn_stack_fused(
+        W_in, b_in, W_rs, b_rs, x, mask, g_all, seed,
+        kernel_size=params_kernel_size(params),
+        dilation_rate=dilation_rate,
+        n_layers=n_layers,
+        p_dropout=p_dropout,
+        deterministic=det,
+    )
+    return out * x_mask
+
+
+def params_kernel_size(params: Params) -> int:
+    leaf = params["in_layers"]["v" if "v" in params["in_layers"] else "w"]
+    return int(leaf.shape[1])  # [L, k, c_in, c_out]

@@ -75,56 +75,33 @@ def run(n_devices: int) -> None:
     assert np.isfinite(loss), f"non-finite loss {loss} in multichip dryrun"
     print(f"dryrun_multichip({n_devices}): data-parallel OK loss={loss:.4f}")
 
-    # 2-D data x model mesh: weights sharded over the model axis (tensor
-    # parallel), batch over data — full fwd+bwd executes with GSPMD
-    # inserting the reshards/collectives.
+    # 2-D data x model mesh: the INTEGRATED tensor-parallel path the CLI's
+    # --model-parallel flag uses — one full train step with weights and
+    # Adam moments sharded over the model axis (train_state_shardings),
+    # GSPMD inserting the activation reshards/collectives.
     if n_devices >= 4 and n_devices % 2 == 0:
-        import jax.numpy as jnp
-        from jax.sharding import Mesh, NamedSharding, PartitionSpec
-
-        from glow_tts_train_tpu.models import (
-            duration_loss,
-            forward_train,
-            hyper_from_config,
-            mle_loss,
+        mesh2 = default_mesh(
+            config.mesh_axis, devices=devices, model_parallel=2
         )
-        from glow_tts_train_tpu.parallel.partitioning import (
-            param_partition_specs,
-            shardable,
+        state2 = create_state(config, jax.random.PRNGKey(0))
+        step2 = make_train_step(config, mesh=mesh2, donate=False, state=state2)
+        state2, metrics2 = step2(
+            state2, shard_batch(batch, mesh2, config.mesh_axis),
+            jax.random.PRNGKey(1),
         )
-
-        hp = hyper_from_config(config)
-        mesh2 = Mesh(
-            np.asarray(devices).reshape(n_devices // 2, 2), ("data", "model")
+        loss_tp = float(metrics2["loss"])
+        assert np.isfinite(loss_tp), f"non-finite TP loss {loss_tp}"
+        n_sharded = sum(
+            1
+            for leaf in jax.tree_util.tree_leaves(state2.params)
+            if hasattr(leaf, "sharding")
+            and "model" in (leaf.sharding.spec or ())
         )
-        specs = shardable(state.params, mesh2, param_partition_specs(state.params))
-        param_sh = jax.tree_util.tree_map(lambda s: NamedSharding(mesh2, s), specs)
-        data_sh = NamedSharding(mesh2, PartitionSpec("data"))
-        repl = NamedSharding(mesh2, PartitionSpec())
-
-        def loss_fn(params, b):
-            (z, z_m, z_logs, logdet, z_mask), _, (_, logw, logw_) = forward_train(
-                params, hp, b["x"], b["x_lengths"], b["y"], b["y_lengths"],
-                deterministic=True,
-            )
-            return mle_loss(z, z_m, z_logs, logdet, z_mask) + duration_loss(
-                logw, logw_, b["x_lengths"]
-            )
-
-        sp = jax.tree_util.tree_map(jax.device_put, state.params, param_sh)
-        sb = jax.tree_util.tree_map(
-            lambda a: jax.device_put(jnp.asarray(a), data_sh), batch
-        )
-        loss_tp, grads_tp = jax.jit(
-            jax.value_and_grad(loss_fn),
-            in_shardings=(param_sh, data_sh),
-            out_shardings=(repl, param_sh),
-        )(sp, sb)
-        del grads_tp
-        assert np.isfinite(float(loss_tp))
+        assert n_sharded > 0, "TP dryrun produced no model-sharded params"
         print(
             f"dryrun_multichip({n_devices}): tensor-parallel "
-            f"({n_devices // 2}x2 data x model) OK loss={float(loss_tp):.4f}"
+            f"({n_devices // 2}x2 data x model, {n_sharded} sharded params) "
+            f"OK loss={loss_tp:.4f}"
         )
 
 

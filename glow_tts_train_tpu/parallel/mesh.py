@@ -24,12 +24,31 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
 
 def default_mesh(
-    axis_name: str = "data", devices: typing.Optional[typing.Sequence] = None
+    axis_name: str = "data",
+    devices: typing.Optional[typing.Sequence] = None,
+    model_parallel: int = 1,
 ) -> Mesh:
-    """1-D data-parallel mesh over all (or the given) devices."""
+    """Mesh over all (or the given) devices.
+
+    ``model_parallel=1``: 1-D data-parallel mesh.  ``model_parallel=m``:
+    2-D (data, model) mesh of shape (n/m, m) — weights shard over the
+    ``model`` axis (parallel/partitioning.py), batch over ``axis_name``;
+    the model axis is innermost so its collectives ride neighboring ICI
+    links.
+    """
     if devices is None:
         devices = jax.devices()
-    return Mesh(np.asarray(devices), (axis_name,))
+    devices = np.asarray(devices)
+    if model_parallel <= 1:
+        return Mesh(devices, (axis_name,))
+    assert devices.size % model_parallel == 0, (
+        f"{devices.size} devices do not split into model_parallel="
+        f"{model_parallel}"
+    )
+    return Mesh(
+        devices.reshape(devices.size // model_parallel, model_parallel),
+        (axis_name, "model"),
+    )
 
 
 def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:

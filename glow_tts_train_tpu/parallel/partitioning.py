@@ -73,6 +73,31 @@ def opt_state_partition_specs(opt_state, params, param_specs) -> typing.Any:
     )
 
 
+def train_state_shardings(state, mesh, model_axis: str = "model"):
+    """NamedSharding tree for a TrainState on a (data, model) mesh.
+
+    Params shard per :func:`param_partition_specs` (downgraded where a dim
+    does not divide the axis), the optimizer's Adam moments shard like the
+    params they track, and scalars (step, schedule counts) replicate.
+    """
+    from jax.sharding import NamedSharding
+
+    is_spec = lambda x: isinstance(x, PartitionSpec)  # noqa: E731
+    pspecs = shardable(
+        state.params, mesh, param_partition_specs(state.params, model_axis)
+    )
+    ospecs = opt_state_partition_specs(state.opt_state, state.params, pspecs)
+
+    def to_sh(tree):
+        return jax.tree_util.tree_map(
+            lambda s: NamedSharding(mesh, s), tree, is_leaf=is_spec
+        )
+
+    return type(state)(
+        to_sh(pspecs), to_sh(ospecs), NamedSharding(mesh, PartitionSpec())
+    )
+
+
 def shardable(params, mesh, specs) -> typing.Any:
     """Downgrade specs whose sharded dim doesn't divide the mesh axis."""
     axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))

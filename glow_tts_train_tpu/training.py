@@ -126,11 +126,18 @@ def make_train_step(
     mesh=None,
     mas_impl: str = "scan",
     donate: bool = True,
+    state: typing.Optional[TrainState] = None,
 ):
     """Build the jit-compiled train step.
 
     Returns ``step_fn(state, batch, rng) -> (state, metrics)`` where batch is
     a dict with keys x, x_lengths, y, y_lengths and optional speaker_ids.
+
+    On a 1-D mesh the state replicates (pure data parallelism).  On a 2-D
+    (data, model) mesh — ``default_mesh(model_parallel=m)`` — weights and
+    Adam moments shard over the model axis (tensor parallelism; GSPMD
+    inserts the activation collectives); ``state`` must then be passed so
+    the sharding tree can be derived from its structure.
     """
     hp = hyper_from_config(config)
     tx = make_optimizer(config)
@@ -175,10 +182,18 @@ def make_train_step(
 
     repl = replicated(mesh)
     data = batch_sharding(mesh, config.mesh_axis)
+    state_sh = repl
+    if "model" in mesh.axis_names and mesh.shape["model"] > 1:
+        from .parallel.partitioning import train_state_shardings
+
+        assert state is not None, (
+            "tensor-parallel mesh needs a state example to derive shardings"
+        )
+        state_sh = train_state_shardings(state, mesh)
     return jax.jit(
         step_fn,
-        in_shardings=(repl, data, repl),
-        out_shardings=(repl, repl),
+        in_shardings=(state_sh, data, repl),
+        out_shardings=(state_sh, repl),
         donate_argnums=(0,) if donate else (),
     )
 
@@ -233,7 +248,15 @@ def train(
     from .checkpoint import Checkpoint, save_checkpoint  # local import (cycle)
     from .optimize import current_lr as _current_lr
 
-    step_fn = make_train_step(config, mesh=mesh, mas_impl=mas_impl)
+    step_fn = make_train_step(config, mesh=mesh, mas_impl=mas_impl, state=state)
+    if mesh is not None and "model" in mesh.axis_names and mesh.shape["model"] > 1:
+        # place the initial state on the TP shardings explicitly: arrays
+        # arriving committed-replicated (DDI under the mesh, checkpoint
+        # restore) would otherwise trip jit's committed-sharding mismatch
+        # check instead of resharding
+        from .parallel.partitioning import train_state_shardings
+
+        state = jax.device_put(state, train_state_shardings(state, mesh))
     # rbg (hardware PRNG) cuts dropout-mask generation cost vs threefry
     # (~15% step time on v5e); see config.prng_impl
     base_rng = jax.random.key(config.seed, impl=config.prng_impl)

@@ -186,3 +186,72 @@ def test_tensor_parallel_matches_data_parallel():
         jax.tree_util.tree_leaves(grads_ref), jax.tree_util.tree_leaves(grads_tp)
     ):
         assert float(jnp.max(jnp.abs(a - b))) <= 1e-5 * gmax
+
+
+def test_tensor_parallel_train_loop_end_to_end(tmp_path):
+    """The CLI-grade TP path (VERDICT r2 #4): training.train() on a 2-D
+    (data, model) mesh built by default_mesh(model_parallel=2), with weights
+    AND Adam moments sharded over the model axis via train_state_shardings.
+    The loop must produce the same losses/params as the 1-D data-parallel
+    mesh (sharding is an annotation, not a numerics change), actually hold
+    model-axis-sharded state, and checkpoint the sharded state to a
+    loadable artifact."""
+    import dataclasses
+
+    from glow_tts_train_tpu.checkpoint import load_checkpoint
+
+    config = dataclasses.replace(
+        tiny_config(p_dropout=0.0, p_dropout_dec=0.0),
+        epochs=2,
+        batch_size=8,
+        checkpoint_format="npz",
+    )
+    host_batches = [
+        random_batch(config, np.random.default_rng(seed), b=8)
+        for seed in (0, 1)
+    ]
+
+    final = {}
+    for label, model_parallel in (("dp", 1), ("tp", 2)):
+        mesh = default_mesh(config.mesh_axis, model_parallel=model_parallel)
+        state = training.create_state(config, jax.random.PRNGKey(0))
+        out_dir = tmp_path / label
+        out_dir.mkdir()
+        final[label] = training.train(
+            lambda: iter(host_batches),
+            config,
+            out_dir,
+            state,
+            checkpoint_epochs=2,
+            mesh=mesh,
+        )
+
+    # numerics: identical trajectories
+    import jax.flatten_util as fu
+
+    flat_dp, _ = fu.ravel_pytree(final["dp"].params)
+    flat_tp, _ = fu.ravel_pytree(final["tp"].params)
+    scale = float(jnp.max(jnp.abs(flat_dp)))
+    assert float(jnp.max(jnp.abs(flat_dp - flat_tp))) <= 1e-5 * scale
+    assert int(final["tp"].step) == int(final["dp"].step) == 5
+
+    # the TP state is REALLY sharded over the model axis (params + moments)
+    def sharded_leaves(tree):
+        return [
+            leaf
+            for leaf in jax.tree_util.tree_leaves(tree)
+            if hasattr(leaf, "sharding")
+            and "model" in (leaf.sharding.spec or ())
+        ]
+
+    assert len(sharded_leaves(final["tp"].params)) > 10
+    assert len(sharded_leaves(final["tp"].opt_state)) > 20  # mu + nu
+    assert not sharded_leaves(final["dp"].params)
+
+    # the sharded state checkpointed to a loadable artifact
+    ckpt = load_checkpoint(tmp_path / "tp" / "checkpoint_5.npz", config)
+    flat_ck, _ = fu.ravel_pytree(ckpt.params)
+    np.testing.assert_allclose(
+        np.asarray(flat_ck), np.asarray(flat_tp), atol=1e-6 * scale
+    )
+    assert ckpt.opt_state is not None
