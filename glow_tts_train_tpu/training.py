@@ -66,6 +66,18 @@ def create_state(
     return TrainState(params, opt_state, jnp.asarray(global_step, jnp.int32))
 
 
+def _host_rss_mb() -> typing.Optional[float]:
+    """Resident set size of this process in MB (Linux; None elsewhere)."""
+    try:
+        with open("/proc/self/status") as status:
+            for line in status:
+                if line.startswith("VmRSS:"):
+                    return round(int(line.split()[1]) / 1024.0, 1)
+    except OSError:
+        pass
+    return None
+
+
 def _prefetch(iterable, prepare, size: int):
     """Background-thread prefetch of prepared batches.
 
@@ -325,6 +337,10 @@ def train(
                             "avg_loss": avg,
                             "learning_rate": _current_lr(config, int(state.step)),
                             "epoch_seconds": epoch_seconds,
+                            # host memory: catches input-pipeline leaks (the
+                            # reference's unbounded mel cache grows RSS by
+                            # GBs over epoch 1 at LJSpeech scale)
+                            "host_rss_mb": _host_rss_mb(),
                         },
                         metrics_file,
                     )

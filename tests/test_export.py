@@ -137,3 +137,42 @@ def test_multispeaker_export_bakes_speaker(tmp_path):
         blob = export_model(params, config, MAX_TEXT, MAX_FRAMES, speaker=speaker)
         assert len(blob) > 1000
     assert np.abs(mels[0] - mels[1]).max() > 1e-6  # speaker actually conditions
+
+
+def test_onnx_export_and_runtime_roundtrip(tmp_path):
+    """The full .onnx chain — export, convert, run under onnxruntime, match
+    the live graph at noise=0 — wherever the ONNX toolchain exists (skips
+    in environments without tf2onnx/onnxruntime; the exact manual recipe is
+    pinned in docs/MIGRATING.md).  Reference capability:
+    export_onnx.py:105-118 + infer_onnx.py:120-128."""
+    pytest.importorskip("tf2onnx")
+    ort = pytest.importorskip("onnxruntime")
+
+    params, config = _tiny_params_and_config()
+    export_onnx(params, config, MAX_TEXT, MAX_FRAMES, tmp_path)
+    onnx_path = tmp_path / "generator.onnx"
+    assert onnx_path.exists()
+
+    text = np.zeros((1, MAX_TEXT), np.int32)
+    text[0, :7] = [3, 7, 12, 5, 9, 14, 2]
+    text_lengths = np.asarray([7], np.int32)
+    scales = np.asarray([0.0, 1.0], np.float32)
+    seed = np.asarray(0, np.int32)
+
+    infer_fn = build_infer_fn(params, config, MAX_FRAMES)
+    mel_jax, len_jax = jax.jit(infer_fn)(text, text_lengths, scales, seed)
+
+    session = ort.InferenceSession(str(onnx_path))
+    mel_onnx, len_onnx = session.run(
+        None,
+        {
+            "input": text,
+            "input_lengths": text_lengths,
+            "scales": scales,
+            "seed": seed,
+        },
+    )
+    assert int(len_onnx[0]) == int(len_jax[0])
+    np.testing.assert_allclose(
+        np.asarray(mel_onnx), np.asarray(mel_jax), rtol=1e-3, atol=1e-3
+    )
