@@ -315,9 +315,11 @@ def main():
     _log(f"rpc baseline (diagnostic): {rpc_base * 1e3:.2f} ms")
 
     step_time, frames_per_sec = bench_train(config)
-    # peak-throughput config: the chip is HBM/mixed-bound at b=32; b=128
-    # amortizes weight traffic better (+5-16% across bench revisions)
+    # larger batches amortize weight traffic; with the fused WN kernel
+    # (round 3) the old b>=192 memory-pressure regression is gone and
+    # b=192 is the measured peak (b=128 kept for round-over-round history)
     step_time_b128, frames_per_sec_b128 = bench_train(config, b=128)
+    step_time_b192, frames_per_sec_b192 = bench_train(config, b=192)
     rtf, infer_time, infer_frames = bench_infer_rtf(config)
     enc_ms, dec_ms, fwd_ms = bench_breakdown(config)
     mas_ms = bench_mas(impl="scan") * 1e3
@@ -351,8 +353,13 @@ def main():
     achieved = flops_per_step / step_time
     peak, chip = chip_peak_bf16_flops()
 
-    peak_fps = max(frames_per_sec, frames_per_sec_b128)
-    headline_batch = 32 if frames_per_sec >= frames_per_sec_b128 else 128
+    by_batch = {
+        32: (step_time, frames_per_sec),
+        128: (step_time_b128, frames_per_sec_b128),
+        192: (step_time_b192, frames_per_sec_b192),
+    }
+    headline_batch = max(by_batch, key=lambda b: by_batch[b][1])
+    peak_fps = by_batch[headline_batch][1]
     result = {
         "metric": "train_mel_frames_per_sec_per_chip",
         "value": round(peak_fps, 1),
@@ -372,10 +379,15 @@ def main():
             "train_frames_per_batch": 32 * 640,
             "frames_per_sec_b32": round(frames_per_sec, 1),
             "frames_per_sec_b128": round(frames_per_sec_b128, 1),
+            "frames_per_sec_b192": round(frames_per_sec_b192, 1),
             "train_step_time_ms_b128": round(step_time_b128 * 1e3, 2),
+            "train_step_time_ms_b192": round(step_time_b192 * 1e3, 2),
             "mfu": round(achieved / peak, 4),
             "mfu_b128": round(
                 (4 * flops_per_step / step_time_b128) / peak, 4
+            ),
+            "mfu_b192": round(
+                (6 * flops_per_step / step_time_b192) / peak, 4
             ),
             "achieved_tflops": round(achieved / 1e12, 2),
             "chip": chip,
@@ -395,8 +407,7 @@ def main():
             "mas_pallas_ms_b32_128x640": mas_pallas_ms,
             "mas_grid_ms": mas_grid,
             "batch_sweep_frames_per_sec": {
-                "32": round(frames_per_sec, 1),
-                "128": round(frames_per_sec_b128, 1),
+                str(b): round(fps, 1) for b, (_, fps) in by_batch.items()
             },
             "rpc_baseline_ms": round(rpc_base * 1e3, 2),
             "timing_method": "two-length chain difference, min-of-3",

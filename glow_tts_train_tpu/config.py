@@ -135,12 +135,14 @@ class TrainingConfig:
     # compiles 3.5x longer — scan is the default and the measured winner.
     unroll_blocks: bool = False
     # Rematerialize flow-block activations in backward (jax.checkpoint):
-    # True/"full" recomputes whole blocks (~9% faster step on v5e — recompute
-    # beats storing residuals), "xin" stores only the k-wide in_layer conv
-    # outputs (recompute skips 83% of WN conv FLOPs; measured ~even at b=32,
-    # 2% slower at b=128 where the step is HBM-bound — scripts/remat-ab.py),
-    # "dots" stores all conv/matmul outputs, False/"none" stores everything.
-    remat_blocks: typing.Union[bool, str] = True
+    # "auto" picks the measured winner for the resolved wn_impl — "none"
+    # with the fused Pallas WN (its custom VJP already stores minimal
+    # residuals, so block recompute is pure waste: 83.1 vs 93.8 ms at
+    # b=128), full-block remat with the XLA WN (recompute beats storing
+    # the stack's intermediates: 25.8 vs 29.2 ms at b=32).  Explicit
+    # values: True/"full", "xin" (store only k-wide in_layer conv
+    # outputs), "dots" (store all conv/matmul outputs), False/"none".
+    remat_blocks: typing.Union[bool, str] = "auto"
     # Rematerialize encoder attention layers too. Off by default: measured
     # -2% at b=32 (the encoder stores little) and +0.8% at b=128; enable
     # for long-t_x or memory-pressure configs.
@@ -155,12 +157,14 @@ class TrainingConfig:
     # Batches to prepare (mel loads, collate, H2D transfer) ahead of the
     # device step on a background thread; 0 disables prefetch.
     prefetch_batches: int = 2
-    # WN gated-stack implementation inside each coupling block: "xla"
-    # (op-by-op, XLA-fused) or "pallas" (the whole n_block_layers stack as
-    # one fused VMEM kernel with a custom-VJP backward, ops/wn_pallas.py —
-    # cuts the stack's HBM traffic ~4x; its dropout uses the TPU hardware
-    # PRNG, a different stream with the same statistics).
-    wn_impl: str = "xla"
+    # WN gated-stack implementation inside each coupling block: "auto"
+    # resolves to "pallas" on TPU backends — the whole n_block_layers stack
+    # as one fused VMEM kernel with a custom-VJP backward (ops/wn_pallas.py;
+    # with remat_blocks "none" it is the measured round-3 winner, 986k vs
+    # 835k frames/s at b=128 on v5e) — and "xla" (op-by-op, XLA-fused)
+    # elsewhere.  The kernel's dropout uses the TPU hardware PRNG, a
+    # different stream than the XLA path with the same statistics.
+    wn_impl: str = "auto"
     # Host-RAM budget for lazily-loaded .npy mels, in total cached frames
     # (bytes ~= frames * mel_channels * 4).  The reference caches every mel
     # forever (dataset.py:56-59) — several GB of monotonic growth at

@@ -113,6 +113,7 @@ class GlowTTSHyper(typing.NamedTuple):
 def hyper_from_config(config: TrainingConfig) -> GlowTTSHyper:
     """Config → hyper mapping, mirroring setup_model (models.py:417-455)."""
     m = config.model
+    wn_impl = _resolve_wn_impl(getattr(config, "wn_impl", "auto"))
     return GlowTTSHyper(
         n_vocab=m.num_symbols,
         hidden_channels=m.hidden_channels,
@@ -140,10 +141,29 @@ def hyper_from_config(config: TrainingConfig) -> GlowTTSHyper:
         hidden_channels_dec=m.hidden_channels_dec,
         prenet=m.prenet,
         unroll=config.unroll_blocks,
-        remat=config.remat_blocks,
+        remat=_resolve_remat(config.remat_blocks, wn_impl),
         remat_encoder=config.remat_encoder,
-        wn_impl=getattr(config, "wn_impl", "xla"),
+        wn_impl=wn_impl,
     )
+
+
+def _resolve_wn_impl(value: str) -> str:
+    """"auto" -> the fused Pallas kernel on TPU backends, XLA elsewhere
+    (interpret-mode Pallas jits to the same ops; no reason to default in)."""
+    if value != "auto":
+        return value
+    import jax
+
+    return "pallas" if jax.default_backend() == "tpu" else "xla"
+
+
+def _resolve_remat(value, wn_impl: str):
+    """"auto" -> the measured winner per WN impl (config.py remat_blocks):
+    the fused kernel's custom VJP already keeps residuals minimal, so block
+    recompute on top of it is pure waste; the XLA stack wants full remat."""
+    if value != "auto":
+        return value
+    return "none" if wn_impl == "pallas" else True
 
 
 # ---------------------------------------------------------------------------

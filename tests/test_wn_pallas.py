@@ -122,3 +122,46 @@ def test_fused_wn_dropout_statistics():
         rng=jax.random.PRNGKey(6), deterministic=False, impl="pallas",
     )
     assert float(jnp.max(jnp.abs(out - out3))) > 0
+
+
+def test_fused_wn_under_gspmd_mesh():
+    """The fused kernel composes with GSPMD sharding: a train step on the
+    8-device data-parallel mesh produces the same loss as the XLA path
+    (multi-chip path of config wn_impl)."""
+    from glow_tts_train_tpu import training
+    from glow_tts_train_tpu.parallel import default_mesh, shard_batch
+
+    losses = {}
+    for impl in ("xla", "pallas"):
+        config = dataclasses.replace(
+            tiny_config(p_dropout=0.0, p_dropout_dec=0.0),
+            wn_impl=impl,
+            remat_blocks="none",
+        )
+        batch = random_batch(config, np.random.default_rng(7), b=8)
+        mesh = default_mesh(config.mesh_axis)
+        state = training.create_state(config, jax.random.PRNGKey(0))
+        step_fn = training.make_train_step(config, mesh=mesh, donate=False)
+        sharded = shard_batch(batch, mesh, config.mesh_axis)
+        state, metrics = step_fn(state, sharded, jax.random.PRNGKey(1))
+        losses[impl] = float(metrics["loss"])
+    assert abs(losses["pallas"] - losses["xla"]) < 1e-5, losses
+
+
+def test_auto_defaults_resolve_per_backend():
+    """config wn_impl="auto"/remat_blocks="auto" resolve to the measured
+    winners: XLA + full remat off-TPU, fused kernel + no block remat on
+    TPU (the kernel's custom VJP already keeps residuals minimal)."""
+    from glow_tts_train_tpu.models import hyper_from_config
+    from glow_tts_train_tpu.models.glow_tts import (
+        _resolve_remat,
+        _resolve_wn_impl,
+    )
+
+    hp = hyper_from_config(tiny_config())  # CPU backend under tests
+    assert hp.wn_impl == "xla" and hp.remat is True
+
+    assert _resolve_remat("auto", "pallas") == "none"
+    assert _resolve_remat("auto", "xla") is True
+    assert _resolve_remat("dots", "pallas") == "dots"  # explicit wins
+    assert _resolve_wn_impl("xla") == "xla"
