@@ -55,12 +55,18 @@ def decoder_fwd_traffic(hp, b: int, t_y: int) -> float:
     per_block += 2 * _act(b, t, c)  # invconv read+write
     # coupling: start conv (c/2 -> h)
     per_block += _conv_fwd(b, t, c // 2, h)
-    for _ in range(hp.n_block_layers):
-        per_block += _conv_fwd(b, t, h, 2 * h)  # in_layer (k-wide)
-        per_block += 2 * _act(b, t, 2 * h)  # dropout + gated read
-        per_block += _act(b, t, h)  # gated write
-        per_block += _conv_fwd(b, t, h, 2 * h)  # res_skip
-        per_block += 3 * _act(b, t, h)  # x update read/write + skip accum
+    if getattr(hp, "wn_impl", "xla") == "pallas":
+        # fused kernel (ops/wn_pallas.py): the whole gated stack lives in
+        # VMEM — HBM sees only read x + write skip (weights counted in
+        # decoder_weight_bytes)
+        per_block += 2 * _act(b, t, h)
+    else:
+        for _ in range(hp.n_block_layers):
+            per_block += _conv_fwd(b, t, h, 2 * h)  # in_layer (k-wide)
+            per_block += 2 * _act(b, t, 2 * h)  # dropout + gated read
+            per_block += _act(b, t, h)  # gated write
+            per_block += _conv_fwd(b, t, h, 2 * h)  # res_skip
+            per_block += 3 * _act(b, t, h)  # x update read/write + skip accum
     per_block += _conv_fwd(b, t, h, c)  # end conv -> (m, logs)
     per_block += 3 * _act(b, t, c)  # affine z1 = m + exp(logs)*x1 + concat
     return per_block * hp.n_blocks_dec
