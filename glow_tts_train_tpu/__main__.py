@@ -78,6 +78,13 @@ def main():
         "(parallel/partitioning.py).  Default 1 = pure data parallelism",
     )
     parser.add_argument(
+        "--no-precompile",
+        action="store_true",
+        help="Skip the up-front compilation of every expected batch shape "
+        "(shapes come from corpus metadata; precompiling avoids mid-epoch "
+        "compile pauses and keeps pod hosts in lockstep)",
+    )
+    parser.add_argument(
         "--mas-impl",
         default="auto",
         choices=("auto", "scan", "pallas"),
@@ -308,6 +315,12 @@ def main():
             mas_impl=args.mas_impl,
             profile_dir=Path(args.profile_dir) if args.profile_dir else None,
             metrics_path=None if not args.metrics_file else Path(args.metrics_file),
+            # compile every expected step shape before the loop (and before
+            # the prefetch thread starts) — shapes derive from corpus
+            # metadata alone, no mel loads
+            precompile_shapes=(
+                pipeline.epoch_shapes() if not args.no_precompile else None
+            ),
         )
         _LOGGER.info("Training finished")
     except KeyboardInterrupt:

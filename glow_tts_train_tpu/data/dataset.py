@@ -326,6 +326,13 @@ class DataPipeline:
         rng.shuffle(plan)
         return plan
 
+    def _batch_pad(self, batch_ids) -> typing.Tuple[int, int]:
+        """Global pad targets (t_x, t_y) for one global batch — metadata
+        only (text lengths in memory, mel lengths from .npy headers)."""
+        pad_text = max(len(self.dataset.id_phonemes[k]) for k in batch_ids)
+        pad_mel = max(self.dataset.mel_length(k) for k in batch_ids)
+        return pad_text, pad_mel
+
     def batches(self) -> typing.Iterator[dict]:
         """One epoch of host batches.  Reshuffles every call (the reference
         leaves sampler.set_epoch commented out, train.py:101 — same order
@@ -335,11 +342,8 @@ class DataPipeline:
         m = self.config.model
         for batch_ids in self._global_plan(rng):
             # pad targets from the GLOBAL batch so every host's shard of it
-            # collates to the same (t_x, t_y) — metadata only, no mel loads
-            pad_text = max(
-                len(self.dataset.id_phonemes[k]) for k in batch_ids
-            )
-            pad_mel = max(self.dataset.mel_length(k) for k in batch_ids)
+            # collates to the same (t_x, t_y)
+            pad_text, pad_mel = self._batch_pad(batch_ids)
             local_ids = batch_ids[self.shard_index :: self.num_shards]
             items = [self.dataset.get(k) for k in local_ids]
             yield collate(
@@ -351,5 +355,30 @@ class DataPipeline:
                 pad_to_text=pad_text,
                 pad_to_mel=pad_mel,
             )
+
+    def epoch_shapes(self, epoch: typing.Optional[int] = None):
+        """Distinct collated batch shapes of one epoch WITHOUT loading any
+        mel data: sorted set of (local_batch, t_x, t_y).
+
+        Every shape a step will see is determined by the global batch plan
+        plus the collate rounding rules, so the train loop can compile all
+        step variants up front (jit .lower().compile()) instead of pausing
+        mid-epoch — and on pods every host compiles the identical set
+        instead of skewing.  Shape-only peek: does not advance the epoch
+        counter.
+        """
+        m = self.config.model
+        rng = np.random.default_rng(
+            self.seed + (self.epoch if epoch is None else epoch)
+        )
+        shapes = set()
+        for batch_ids in self._global_plan(rng):
+            pad_text, pad_mel = self._batch_pad(batch_ids)
+            t_x = _round_up(pad_text, max(self.config.bucket_size_text, 1))
+            t_y = _round_up(pad_mel, max(m.n_frames_per_step, 1))
+            t_y = _round_up(t_y, max(self.config.bucket_size_mel, 1))
+            b_local = len(batch_ids) // self.num_shards
+            shapes.add((b_local, t_x, t_y))
+        return sorted(shapes)
 
     __iter__ = batches

@@ -78,8 +78,12 @@ def _offsets(kernel_size: int, dilation: int):
     return tuple(dilation * (k - kernel_size // 2) for k in range(kernel_size))
 
 
-def _layer_fwd(xcur, l, refs, st, *, want_xin=False):
-    """Shared forward math for one WN layer; returns (x_next, skip_inc, ...)."""
+def _layer_fwd(xcur, l, refs, st, *, save=None):
+    """Shared forward math for one WN layer; returns (x_next, skip_inc).
+
+    ``save=(th_ref, sg_ref, keep_ref)``: additionally store the gate
+    activations (and dropout keep mask) into per-layer scratch so the
+    backward walk can skip recomputing the conv + gate entirely."""
     (win_ref, bin_ref, wrs_ref, brs_ref, g_ref, mask) = refs
     t, h = xcur.shape
     dtype = xcur.dtype
@@ -90,7 +94,6 @@ def _layer_fwd(xcur, l, refs, st, *, want_xin=False):
         jnp.dot(cols, win_ref[l], preferred_element_type=jnp.float32)
         + bin_ref[l].astype(jnp.float32)[None, :]
     )
-    keep = None
     if st["drop_threshold"] is not None:
         pltpu.prng_seed(st["seed"] * np.int32(st["n_layers"]) + np.int32(l))
         bits = pltpu.prng_random_bits(xin.shape)
@@ -98,17 +101,22 @@ def _layer_fwd(xcur, l, refs, st, *, want_xin=False):
         xin = jnp.where(
             keep, xin * np.float32(st["drop_scale"]), jnp.zeros_like(xin)
         )
+        if save is not None:
+            save[2][l] = jnp.where(
+                keep, jnp.ones_like(xin, dtype), jnp.zeros_like(xin, dtype)
+            )
     in_act = xin + g_ref[0, l].astype(jnp.float32)[None, :]
     u, v = in_act[:, :h], in_act[:, h:]
     th, sg = jnp.tanh(u), jax.nn.sigmoid(v)
+    if save is not None:
+        save[0][l] = th.astype(dtype)
+        save[1][l] = sg.astype(dtype)
     acts = (th * sg).astype(dtype)
     rs = (
         jnp.dot(acts, wrs_ref[l], preferred_element_type=jnp.float32)
         + brs_ref[l].astype(jnp.float32)[None, :]
     ).astype(dtype)
     x_next = (xcur + rs[:, :h]) * mask
-    if want_xin:
-        return x_next, rs[:, h:], acts, th, sg, keep
     return x_next, rs[:, h:]
 
 
@@ -129,7 +137,7 @@ def _fwd_kernel(seed_ref, x_ref, mask_ref, win_ref, bin_ref, wrs_ref, brs_ref,
 def _bwd_kernel(seed_ref, x_ref, mask_ref, win_ref, bin_ref, wrs_ref, brs_ref,
                 g_ref, dout_ref,
                 dx_ref, dwin_ref, dbin_ref, dwrs_ref, dbrs_ref, dg_ref,
-                xs_ref, *, st):
+                xs_ref, th_ref, sg_ref, keep_ref, *, st):
     t, h = x_ref.shape[1], x_ref.shape[2]
     L = st["n_layers"]
     dtype = x_ref.dtype
@@ -144,18 +152,23 @@ def _bwd_kernel(seed_ref, x_ref, mask_ref, win_ref, bin_ref, wrs_ref, brs_ref,
         dwrs_ref[...] = jnp.zeros_like(dwrs_ref)
         dbrs_ref[...] = jnp.zeros_like(dbrs_ref)
 
-    # ---- forward recompute: store each layer's INPUT (xs[l]) ----
+    # ---- forward recompute: store layer inputs + gate activations (+keep)
+    # so the reverse walk never re-runs the conv or the gate (profile: the
+    # walk's recompute was ~40% of the backward kernel's time)
     xcur = x_ref[0]
+    save = (th_ref, sg_ref, keep_ref)
     for l in range(L):
         xs_ref[l] = xcur
-        xcur, _ = _layer_fwd(xcur, l, refs, st)
+        xcur, _ = _layer_fwd(xcur, l, refs, st, save=save)
 
-    # ---- reverse walk ----
+    # ---- reverse walk: 4 matmuls per layer (da, dW_rs, d_cols, dW_in) ----
     g_skip = dout_ref[0].astype(jnp.float32)  # [t, h], same for every layer
     g_x = jnp.zeros((t, h), jnp.float32)
     for l in range(L - 1, -1, -1):
         x_l = xs_ref[l]
-        _, _, acts, th, sg, keep = _layer_fwd(x_l, l, refs, st, want_xin=True)
+        th = th_ref[l].astype(jnp.float32)
+        sg = sg_ref[l].astype(jnp.float32)
+        acts = (th * sg).astype(dtype)
         # rs cotangent: res half feeds x_{l+1} = (x_l + rs[:h]) * mask,
         # skip half feeds the output sum (padded last layer: res-half
         # weights are zero so its g_rs[:h] contributes nothing)
@@ -168,14 +181,16 @@ def _bwd_kernel(seed_ref, x_ref, mask_ref, win_ref, bin_ref, wrs_ref, brs_ref,
         )
         dbrs_ref[l] += jnp.sum(g_rs, axis=0)
         # gated activation: acts = tanh(u) * sigmoid(v)
-        du = da * (sg * (1.0 - th * th)).astype(jnp.float32)
-        dv = da * (th * sg * (1.0 - sg)).astype(jnp.float32)
+        du = da * sg * (1.0 - th * th)
+        dv = da * th * sg * (1.0 - sg)
         d_in_act = jnp.concatenate([du, dv], axis=1)  # [t, 2h] f32
         dg_ref[0, l] = jnp.sum(d_in_act, axis=0).astype(dg_ref.dtype)
         d_xin = d_in_act
         if st["drop_threshold"] is not None:
-            d_xin = jnp.where(
-                keep, d_xin * np.float32(st["drop_scale"]), jnp.zeros_like(d_xin)
+            d_xin = (
+                d_xin
+                * keep_ref[l].astype(jnp.float32)
+                * np.float32(st["drop_scale"])
             )
         cols = _im2col(x_l, st["offs"][l], t)
         dwin_ref[l] += jnp.dot(
@@ -268,7 +283,12 @@ def _wn_pallas_call(
             grid=(b,),
             in_specs=in_specs + [per_b((1, t, h))],  # + dout
             out_specs=out_specs,
-            scratch_shapes=[pltpu.VMEM((L, t, h), x.dtype)],  # xs
+            scratch_shapes=[
+                pltpu.VMEM((L, t, h), x.dtype),       # xs (layer inputs)
+                pltpu.VMEM((L, t, h), x.dtype),       # tanh gate
+                pltpu.VMEM((L, t, h), x.dtype),       # sigmoid gate
+                pltpu.VMEM((L, t, 2 * h), x.dtype),   # dropout keep (0/1)
+            ],
         ),
         out_shape=out_shapes,
         interpret=interpret,

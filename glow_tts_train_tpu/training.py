@@ -233,6 +233,46 @@ def initialize_model(
     )
 
 
+def _precompile(step_fn, state, config, mesh, base_rng, shapes) -> None:
+    """Compile the train step for every expected batch shape up front.
+
+    ``shapes``: iterable of (local_batch, t_x, t_y) — from
+    DataPipeline.epoch_shapes().  Uses jit .lower().compile() on
+    ShapeDtypeStructs (no data, no execution), so every step variant is
+    resident before the prefetch thread starts pushing device transfers —
+    no mid-epoch compile pauses, no compile concurrent with H2D, and on
+    pods every host compiles the identical set instead of skewing.
+    Compiled programs also land in the persistent compilation cache.
+    """
+    from .parallel import batch_sharding
+
+    n_mel = config.audio.mel_channels
+    multispeaker = config.model.n_speakers > 1
+    sharding = batch_sharding(mesh, config.mesh_axis) if mesh is not None else None
+    start = time.perf_counter()
+    shapes = list(shapes)
+    for b, t_x, t_y in shapes:
+        if mesh is not None:
+            b = b * jax.process_count()  # global batch on the mesh
+        def spec(shape, dtype):
+            return jax.ShapeDtypeStruct(shape, dtype, sharding=sharding)
+
+        batch = {
+            "x": spec((b, t_x), jnp.int32),
+            "x_lengths": spec((b,), jnp.int32),
+            "y": spec((b, t_y, n_mel), jnp.float32),
+            "y_lengths": spec((b,), jnp.int32),
+        }
+        if multispeaker:
+            batch["speaker_ids"] = spec((b,), jnp.int32)
+        step_fn.lower(state, batch, base_rng).compile()
+    _LOGGER.info(
+        "Precompiled %s step shape(s) in %.1f s",
+        len(shapes),
+        time.perf_counter() - start,
+    )
+
+
 def train(
     batches: typing.Callable[[], typing.Iterable[dict]],
     config: TrainingConfig,
@@ -244,6 +284,7 @@ def train(
     log_every: int = 10,
     profile_dir: typing.Optional[Path] = None,
     metrics_path: typing.Optional[Path] = None,
+    precompile_shapes: typing.Optional[typing.Iterable[tuple]] = None,
 ) -> TrainState:
     """Epoch loop with periodic checkpointing (reference train.py:21-88).
 
@@ -275,6 +316,11 @@ def train(
     is_chief = jax.process_index() == 0
     profiling = False
     steps_done = 0
+
+    if precompile_shapes is not None:
+        _precompile(
+            step_fn, state, config, mesh, base_rng, precompile_shapes
+        )
 
     # host-side step counter: int(state.step) would block on the in-flight
     # device step every iteration, serializing dispatch against data prep

@@ -369,3 +369,43 @@ def test_build_dataset_rejects_negative_phoneme_ids(tmp_path):
         f.write(_json.dumps({"id": "u0", "mel": [[0.0] * 12] * 8}) + "\n")
     with pytest.raises(ValueError, match="phoneme id -1"):
         build_dataset([SpeakerSource(0, csv, jsonl)], config)
+
+
+def test_epoch_shapes_match_actual_batches(tmp_path):
+    """epoch_shapes() predicts exactly the collated shapes the epoch
+    produces, from metadata alone (no mel loads) — the contract the train
+    loop's shape precompilation relies on."""
+    import dataclasses
+
+    from glow_tts_train_tpu.data.dataset import DataPipeline, PhonemeMelDataset
+    from helpers import tiny_config
+
+    rng = np.random.default_rng(0)
+    mels_dir = tmp_path / "mels"
+    mels_dir.mkdir()
+    phonemes, mels = {}, {}
+    for i in range(24):
+        key = (0, f"u{i}")
+        n = int(rng.integers(3, 12))
+        phonemes[key] = rng.integers(1, 9, size=n).astype(np.int32)
+        t = int(rng.integers(8, 40))
+        np.save(mels_dir / f"u{i}.npy", rng.standard_normal((8, t)).astype(np.float32))
+
+    config = dataclasses.replace(
+        tiny_config(), batch_size=4, bucket_size_text=4, bucket_size_mel=8
+    )
+    ds = PhonemeMelDataset(phonemes, {}, {0: mels_dir})
+    pipeline = DataPipeline(ds, config, bucket_by_length=True)
+
+    predicted = pipeline.epoch_shapes()
+    actual = sorted(
+        {
+            (b["x"].shape[0], b["x"].shape[1], b["y"].shape[1])
+            for b in pipeline.batches()
+        }
+    )
+    assert predicted == actual, (predicted, actual)
+    # peeking at shapes must not consume the epoch counter
+    pipeline2 = DataPipeline(ds, config, bucket_by_length=True)
+    pipeline2.epoch_shapes()
+    assert pipeline2.epoch == 0

@@ -175,3 +175,31 @@ def test_remat_encoder_numerically_identical():
         _, metrics = step_fn(state, batch, jax.random.PRNGKey(1))
         results.append((float(metrics["loss"]), float(metrics["grad_norm"])))
     np.testing.assert_allclose(results[0], results[1], rtol=1e-6)
+
+
+def test_train_precompiles_shapes(tmp_path, caplog):
+    """train(precompile_shapes=...) compiles every expected step shape up
+    front via jit lower/compile (no data, no execution) and then trains
+    normally."""
+    import logging
+
+    config = tiny_config()
+    config.epochs = 1
+    batches = [
+        random_batch(config, np.random.default_rng(s), t_y=26) for s in (0, 1)
+    ]
+    state = training.create_state(config, jax.random.PRNGKey(0))
+    shapes = sorted(
+        {(b["x"].shape[0], b["x"].shape[1], b["y"].shape[1]) for b in batches}
+    )
+    with caplog.at_level(logging.INFO, logger="glow_tts_train_tpu"):
+        state = training.train(
+            lambda: iter(batches),
+            config,
+            tmp_path,
+            state,
+            checkpoint_epochs=10,
+            precompile_shapes=shapes,
+        )
+    assert int(state.step) == 3
+    assert any("Precompiled" in r.getMessage() for r in caplog.records)
