@@ -97,14 +97,14 @@ def _layer_fwd(xcur, l, refs, st, *, save=None):
     if st["drop_threshold"] is not None:
         pltpu.prng_seed(st["seed"] * np.int32(st["n_layers"]) + np.int32(l))
         bits = pltpu.prng_random_bits(xin.shape)
-        keep = pltpu.bitcast(bits, jnp.uint32) >= st["drop_threshold"]
-        xin = jnp.where(
-            keep, xin * np.float32(st["drop_scale"]), jnp.zeros_like(xin)
+        # f32 0/1 mask, not an i1 vector — Mosaic rejects some bool-vector
+        # stores/relayouts (same workaround as mas_pallas)
+        keepf = jnp.where(
+            pltpu.bitcast(bits, jnp.uint32) >= st["drop_threshold"], 1.0, 0.0
         )
+        xin = xin * keepf * np.float32(st["drop_scale"])
         if save is not None:
-            save[2][l] = jnp.where(
-                keep, jnp.ones_like(xin, dtype), jnp.zeros_like(xin, dtype)
-            )
+            save[2][l] = keepf.astype(dtype)
     in_act = xin + g_ref[0, l].astype(jnp.float32)[None, :]
     u, v = in_act[:, :h], in_act[:, h:]
     th, sg = jnp.tanh(u), jax.nn.sigmoid(v)
