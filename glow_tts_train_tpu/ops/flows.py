@@ -363,6 +363,11 @@ def coupling_apply(
         deterministic=deterministic,
         impl=wn_impl,
     )
+    # named for the "wn" remat policy: save exactly the WN stack outputs;
+    # backward then recomputes only the cheap non-WN matmuls (actnorm,
+    # invconv, start/end 1x1) while the fused kernel's own VJP handles its
+    # internals — see DecoderHyper.remat
+    hidden = checkpoint_name(hidden, "wn_out")
     out = conv1d(hidden, params["end"])
 
     m = out[..., : c // 2]
@@ -482,9 +487,9 @@ def decoder_fwd(
         )
         return (x, logdet_tot + ld1 + ld2 + ld3, i + 1), None
 
-    assert hp.remat in (True, False, "full", "dots", "xin", "none"), (
-        f"remat_blocks must be true/false/'full'/'dots'/'xin'/'none', got "
-        f"{hp.remat!r}"
+    assert hp.remat in (True, False, "full", "dots", "xin", "wn", "none"), (
+        f"remat_blocks must be true/false/'full'/'dots'/'xin'/'wn'/'none', "
+        f"got {hp.remat!r}"
     )
     if hp.remat and hp.remat != "none":
         # recompute block activations (incl. dropout masks — the rng replay
@@ -495,11 +500,18 @@ def decoder_fwd(
         # 83% of WN conv FLOPs) so the backward recompute is 1x1 convs +
         # elementwise — a middle point between "full" (recompute all) and
         # "dots" (store all matmul outputs).
+        # "wn" saves ONLY the WN stack outputs: backward recomputes the
+        # cheap non-WN matmuls (actnorm/invconv/start/end) instead of
+        # storing every block intermediate ("none") or recomputing the
+        # whole WN stack ("full") — the sweet spot when the stack is the
+        # fused kernel, whose custom VJP regenerates its own internals.
         policy = None
         if hp.remat == "dots":
             policy = jax.checkpoint_policies.dots_saveable
         elif hp.remat == "xin":
             policy = jax.checkpoint_policies.save_only_these_names("wn_xin")
+        elif hp.remat == "wn":
+            policy = jax.checkpoint_policies.save_only_these_names("wn_out")
         block = jax.checkpoint(_block_body, policy=policy)
 
     b = x.shape[0]
