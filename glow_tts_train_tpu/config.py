@@ -165,6 +165,16 @@ class TrainingConfig:
     # elsewhere.  The kernel's dropout uses the TPU hardware PRNG, a
     # different stream than the XLA path with the same statistics.
     wn_impl: str = "auto"
+    # Backward strategy of the fused WN kernel (pallas only): "recompute"
+    # re-runs the stack forward in-kernel (stores nothing between fwd and
+    # bwd); "store" saves per-layer inputs + gate activations to HBM in
+    # forward so backward skips the recompute pass (2x- vs 3x-forward
+    # FLOPs, at 3·L·t·h extra bytes per sample per block).  "auto" ->
+    # "recompute": measured 111.1 vs 124.7 ms at b=192 on v5e — the
+    # kernel overlaps its recompute DMA, while "store" pays ~7 GB/step of
+    # real residual traffic.  "store" remains for recompute-dominated
+    # shapes (long t, small h).
+    wn_residuals: str = "auto"
     # Host-RAM budget for lazily-loaded .npy mels, in total cached frames
     # (bytes ~= frames * mel_channels * 4).  The reference caches every mel
     # forever (dataset.py:56-59) — several GB of monotonic growth at

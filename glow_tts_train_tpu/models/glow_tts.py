@@ -81,6 +81,7 @@ class GlowTTSHyper(typing.NamedTuple):
     remat: bool = True
     remat_encoder: bool = False
     wn_impl: str = "xla"
+    wn_residuals: str = "recompute"
 
     @property
     def h_enc(self) -> int:
@@ -107,6 +108,7 @@ class GlowTTSHyper(typing.NamedTuple):
             unroll=self.unroll,
             remat=self.remat,
             wn_impl=self.wn_impl,
+            wn_residuals=self.wn_residuals,
         )
 
 
@@ -114,6 +116,7 @@ def hyper_from_config(config: TrainingConfig) -> GlowTTSHyper:
     """Config → hyper mapping, mirroring setup_model (models.py:417-455)."""
     m = config.model
     wn_impl = _resolve_wn_impl(getattr(config, "wn_impl", "auto"))
+    remat = _resolve_remat(config.remat_blocks, wn_impl)
     return GlowTTSHyper(
         n_vocab=m.num_symbols,
         hidden_channels=m.hidden_channels,
@@ -141,9 +144,12 @@ def hyper_from_config(config: TrainingConfig) -> GlowTTSHyper:
         hidden_channels_dec=m.hidden_channels_dec,
         prenet=m.prenet,
         unroll=config.unroll_blocks,
-        remat=_resolve_remat(config.remat_blocks, wn_impl),
+        remat=remat,
         remat_encoder=config.remat_encoder,
         wn_impl=wn_impl,
+        wn_residuals=_resolve_wn_residuals(
+            getattr(config, "wn_residuals", "auto"), wn_impl, remat
+        ),
     )
 
 
@@ -164,6 +170,19 @@ def _resolve_remat(value, wn_impl: str):
     if value != "auto":
         return value
     return "none" if wn_impl == "pallas" else True
+
+
+def _resolve_wn_residuals(value: str, wn_impl: str, remat) -> str:
+    """"auto" -> "recompute", the measured winner (v5e, b=192 base config,
+    two interleaved passes: recompute 111.1 ms vs store 124.7 ms).  The
+    in-kernel recompute overlaps its own DMA with the MXU walk, while
+    "store" pays ~6.8 GB/step of real residual traffic plus the scan's
+    stacking copies — the roofline's MXU-bound reading did not make that
+    traffic free.  "store" stays available as an explicit choice for
+    shapes where recompute FLOPs dominate (long t, small h)."""
+    if value != "auto":
+        return value
+    return "recompute"
 
 
 # ---------------------------------------------------------------------------

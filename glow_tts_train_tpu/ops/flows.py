@@ -259,19 +259,23 @@ def wn_apply(
     rng: typing.Optional[jax.Array] = None,
     deterministic: bool = True,
     impl: str = "xla",
+    residuals: str = "recompute",
 ) -> jnp.ndarray:
     """x: [b, t, h]; g: optional [b, 1, gin] global conditioning.
 
     ``impl="pallas"`` runs the whole gated stack as one fused VMEM kernel
     with a custom-VJP backward (ops/wn_pallas.py) — same math, ~4x less
     HBM traffic; its dropout uses the TPU hardware PRNG (different stream,
-    same statistics)."""
+    same statistics).  ``residuals`` (pallas only) picks the backward
+    strategy: "recompute" in-kernel vs "store" forward-saved (see
+    wn_pallas.wn_stack_fused)."""
     if impl == "pallas":
         from .wn_pallas import wn_apply_pallas
 
         return wn_apply_pallas(
             params, x, x_mask, g, hidden_channels, dilation_rate, n_layers,
             p_dropout=p_dropout, rng=rng, deterministic=deterministic,
+            residuals=residuals,
         )
     h = hidden_channels
     output = jnp.zeros_like(x)
@@ -344,6 +348,7 @@ def coupling_apply(
     rng: typing.Optional[jax.Array] = None,
     deterministic: bool = True,
     wn_impl: str = "xla",
+    wn_residuals: str = "recompute",
 ):
     """Affine coupling: identity on the first half, affine on the second."""
     c = x.shape[-1]
@@ -362,6 +367,7 @@ def coupling_apply(
         rng=rng,
         deterministic=deterministic,
         impl=wn_impl,
+        residuals=wn_residuals,
     )
     # named for the "wn" remat policy: save exactly the WN stack outputs;
     # backward then recomputes only the cheap non-WN matmuls (actnorm,
@@ -424,6 +430,10 @@ class DecoderHyper(typing.NamedTuple):
     # WN stack implementation: "xla" (op-by-op, XLA-fused) or "pallas"
     # (one fused VMEM kernel + custom-VJP backward, ops/wn_pallas.py)
     wn_impl: str = "xla"
+    # Pallas backward strategy: "recompute" (in-kernel forward recompute) or
+    # "store" (forward saves layer inputs + gates to HBM; backward skips
+    # the recompute pass) — see wn_pallas.wn_stack_fused
+    wn_residuals: str = "recompute"
 
 
 def decoder_init(rng: jax.Array, hp: DecoderHyper) -> Params:
@@ -480,6 +490,7 @@ def decoder_fwd(
             hp.n_layers,
             sigmoid_scale=hp.sigmoid_scale,
             wn_impl=hp.wn_impl,
+            wn_residuals=hp.wn_residuals,
             reverse=False,
             p_dropout=hp.p_dropout,
             rng=brng,
@@ -550,6 +561,7 @@ def decoder_inv(
             hp.n_layers,
             sigmoid_scale=hp.sigmoid_scale,
             wn_impl=hp.wn_impl,
+            wn_residuals=hp.wn_residuals,
             reverse=True,
             deterministic=True,
         )
@@ -600,6 +612,7 @@ def decoder_ddi(
             hp.n_layers,
             sigmoid_scale=hp.sigmoid_scale,
             wn_impl=hp.wn_impl,
+            wn_residuals=hp.wn_residuals,
             reverse=False,
             deterministic=True,
         )

@@ -78,12 +78,25 @@ def _offsets(kernel_size: int, dilation: int):
     return tuple(dilation * (k - kernel_size // 2) for k in range(kernel_size))
 
 
-def _layer_fwd(xcur, l, refs, st, *, save=None):
-    """Shared forward math for one WN layer; returns (x_next, skip_inc).
+def _regen_keep(l, shape, st):
+    """Regenerate layer ``l``'s dropout keep mask (f32 0/1) bit-identically:
+    the forward seeds the TPU PRNG per (sample, layer) and draws once, so
+    any pass can replay the same mask independently."""
+    pltpu.prng_seed(st["seed"] * np.int32(st["n_layers"]) + np.int32(l))
+    bits = pltpu.prng_random_bits(shape)
+    # f32 0/1 mask, not an i1 vector — Mosaic rejects some bool-vector
+    # stores/relayouts (same workaround as mas_pallas)
+    return jnp.where(
+        pltpu.bitcast(bits, jnp.uint32) >= st["drop_threshold"], 1.0, 0.0
+    )
 
-    ``save=(th_ref, sg_ref, keep_ref)``: additionally store the gate
-    activations (and dropout keep mask) into per-layer scratch so the
-    backward walk can skip recomputing the conv + gate entirely."""
+
+def _layer_fwd(xcur, l, refs, st):
+    """Shared forward math for one WN layer.
+
+    Returns ``(x_next, skip_inc, (th, sg, keepf))`` — the gate activations
+    (f32) and dropout keep mask (f32 0/1, or None) so callers can stash
+    them for a backward walk that skips recomputing the conv + gate."""
     (win_ref, bin_ref, wrs_ref, brs_ref, g_ref, mask) = refs
     t, h = xcur.shape
     dtype = xcur.dtype
@@ -94,30 +107,20 @@ def _layer_fwd(xcur, l, refs, st, *, save=None):
         jnp.dot(cols, win_ref[l], preferred_element_type=jnp.float32)
         + bin_ref[l].astype(jnp.float32)[None, :]
     )
+    keepf = None
     if st["drop_threshold"] is not None:
-        pltpu.prng_seed(st["seed"] * np.int32(st["n_layers"]) + np.int32(l))
-        bits = pltpu.prng_random_bits(xin.shape)
-        # f32 0/1 mask, not an i1 vector — Mosaic rejects some bool-vector
-        # stores/relayouts (same workaround as mas_pallas)
-        keepf = jnp.where(
-            pltpu.bitcast(bits, jnp.uint32) >= st["drop_threshold"], 1.0, 0.0
-        )
+        keepf = _regen_keep(l, xin.shape, st)
         xin = xin * keepf * np.float32(st["drop_scale"])
-        if save is not None:
-            save[2][l] = keepf.astype(dtype)
     in_act = xin + g_ref[0, l].astype(jnp.float32)[None, :]
     u, v = in_act[:, :h], in_act[:, h:]
     th, sg = jnp.tanh(u), jax.nn.sigmoid(v)
-    if save is not None:
-        save[0][l] = th.astype(dtype)
-        save[1][l] = sg.astype(dtype)
     acts = (th * sg).astype(dtype)
     rs = (
         jnp.dot(acts, wrs_ref[l], preferred_element_type=jnp.float32)
         + brs_ref[l].astype(jnp.float32)[None, :]
     ).astype(dtype)
     x_next = (xcur + rs[:, :h]) * mask
-    return x_next, rs[:, h:]
+    return x_next, rs[:, h:], (th, sg, keepf)
 
 
 def _fwd_kernel(seed_ref, x_ref, mask_ref, win_ref, bin_ref, wrs_ref, brs_ref,
@@ -129,45 +132,46 @@ def _fwd_kernel(seed_ref, x_ref, mask_ref, win_ref, bin_ref, wrs_ref, brs_ref,
     st = dict(st, seed=seed_ref[0] + pl.program_id(0))
     refs = (win_ref, bin_ref, wrs_ref, brs_ref, g_ref, mask)
     for l in range(st["n_layers"]):
-        xcur, skip_inc = _layer_fwd(xcur, l, refs, st)
+        xcur, skip_inc, _ = _layer_fwd(xcur, l, refs, st)
         skip = skip + skip_inc.astype(jnp.float32)
     out_ref[0] = skip.astype(out_ref.dtype)
 
 
-def _bwd_kernel(seed_ref, x_ref, mask_ref, win_ref, bin_ref, wrs_ref, brs_ref,
-                g_ref, dout_ref,
-                dx_ref, dwin_ref, dbin_ref, dwrs_ref, dbrs_ref, dg_ref,
-                xs_ref, th_ref, sg_ref, keep_ref, *, st):
+def _fwd_save_kernel(seed_ref, x_ref, mask_ref, win_ref, bin_ref, wrs_ref,
+                     brs_ref, g_ref, out_ref, xs_ref, th_ref, sg_ref, *, st):
+    """Forward that additionally writes per-layer residuals (layer inputs +
+    gate activations) to HBM so the backward kernel can skip its recompute
+    pass entirely — the measured winner once the step is MXU-bound
+    (BASELINE.md round 3: recompute is 1/3 of the backward kernel's FLOPs,
+    while the extra DMA overlaps with the walk's matmuls).  Dropout keep
+    masks are NOT stored: backward replays them from the PRNG."""
     t, h = x_ref.shape[1], x_ref.shape[2]
-    L = st["n_layers"]
     dtype = x_ref.dtype
+    xcur = x_ref[0]
     mask = mask_ref[0]
+    skip = jnp.zeros((t, h), jnp.float32)
     st = dict(st, seed=seed_ref[0] + pl.program_id(0))
     refs = (win_ref, bin_ref, wrs_ref, brs_ref, g_ref, mask)
+    for l in range(st["n_layers"]):
+        xs_ref[0, l] = xcur
+        xcur, skip_inc, (th, sg, _) = _layer_fwd(xcur, l, refs, st)
+        th_ref[0, l] = th.astype(dtype)
+        sg_ref[0, l] = sg.astype(dtype)
+        skip = skip + skip_inc.astype(jnp.float32)
+    out_ref[0] = skip.astype(out_ref.dtype)
 
-    @pl.when(pl.program_id(0) == 0)
-    def _zero_accumulators():
-        dwin_ref[...] = jnp.zeros_like(dwin_ref)
-        dbin_ref[...] = jnp.zeros_like(dbin_ref)
-        dwrs_ref[...] = jnp.zeros_like(dwrs_ref)
-        dbrs_ref[...] = jnp.zeros_like(dbrs_ref)
 
-    # ---- forward recompute: store layer inputs + gate activations (+keep)
-    # so the reverse walk never re-runs the conv or the gate (profile: the
-    # walk's recompute was ~40% of the backward kernel's time)
-    xcur = x_ref[0]
-    save = (th_ref, sg_ref, keep_ref)
-    for l in range(L):
-        xs_ref[l] = xcur
-        xcur, _ = _layer_fwd(xcur, l, refs, st, save=save)
-
-    # ---- reverse walk: 4 matmuls per layer (da, dW_rs, d_cols, dW_in) ----
-    g_skip = dout_ref[0].astype(jnp.float32)  # [t, h], same for every layer
+def _reverse_walk(load, mask, dout, win_ref, wrs_ref,
+                  dx_ref, dwin_ref, dbin_ref, dwrs_ref, dbrs_ref, dg_ref,
+                  *, st, t, h, dtype):
+    """The 4-matmul-per-layer reverse walk (da, dW_rs, d_cols, dW_in),
+    shared by both backward kernels.  ``load(l)`` returns that layer's
+    ``(x_l, th, sg, keepf)`` — from VMEM scratch (recompute mode) or from
+    HBM-stored residuals (store mode)."""
+    g_skip = dout.astype(jnp.float32)  # [t, h], same for every layer
     g_x = jnp.zeros((t, h), jnp.float32)
-    for l in range(L - 1, -1, -1):
-        x_l = xs_ref[l]
-        th = th_ref[l].astype(jnp.float32)
-        sg = sg_ref[l].astype(jnp.float32)
+    for l in range(st["n_layers"] - 1, -1, -1):
+        x_l, th, sg, keepf = load(l)
         acts = (th * sg).astype(dtype)
         # rs cotangent: res half feeds x_{l+1} = (x_l + rs[:h]) * mask,
         # skip half feeds the output sum (padded last layer: res-half
@@ -187,11 +191,7 @@ def _bwd_kernel(seed_ref, x_ref, mask_ref, win_ref, bin_ref, wrs_ref, brs_ref,
         dg_ref[0, l] = jnp.sum(d_in_act, axis=0).astype(dg_ref.dtype)
         d_xin = d_in_act
         if st["drop_threshold"] is not None:
-            d_xin = (
-                d_xin
-                * keep_ref[l].astype(jnp.float32)
-                * np.float32(st["drop_scale"])
-            )
+            d_xin = d_xin * keepf * np.float32(st["drop_scale"])
         cols = _im2col(x_l, st["offs"][l], t)
         dwin_ref[l] += jnp.dot(
             cols.T, d_xin.astype(dtype), preferred_element_type=jnp.float32
@@ -210,6 +210,91 @@ def _bwd_kernel(seed_ref, x_ref, mask_ref, win_ref, bin_ref, wrs_ref, brs_ref,
     dx_ref[0] = g_x.astype(dx_ref.dtype)
 
 
+def _zero_weight_accs(dwin_ref, dbin_ref, dwrs_ref, dbrs_ref):
+    @pl.when(pl.program_id(0) == 0)
+    def _zero():
+        dwin_ref[...] = jnp.zeros_like(dwin_ref)
+        dbin_ref[...] = jnp.zeros_like(dbin_ref)
+        dwrs_ref[...] = jnp.zeros_like(dwrs_ref)
+        dbrs_ref[...] = jnp.zeros_like(dbrs_ref)
+
+
+def _bwd_kernel(seed_ref, x_ref, mask_ref, win_ref, bin_ref, wrs_ref, brs_ref,
+                g_ref, dout_ref,
+                dx_ref, dwin_ref, dbin_ref, dwrs_ref, dbrs_ref, dg_ref,
+                xs_ref, th_ref, sg_ref, keep_ref, *, st):
+    t, h = x_ref.shape[1], x_ref.shape[2]
+    L = st["n_layers"]
+    dtype = x_ref.dtype
+    mask = mask_ref[0]
+    st = dict(st, seed=seed_ref[0] + pl.program_id(0))
+    refs = (win_ref, bin_ref, wrs_ref, brs_ref, g_ref, mask)
+    _zero_weight_accs(dwin_ref, dbin_ref, dwrs_ref, dbrs_ref)
+
+    # ---- forward recompute: store layer inputs + gate activations (+keep)
+    # so the reverse walk never re-runs the conv or the gate (profile: the
+    # walk's recompute was ~40% of the backward kernel's time)
+    xcur = x_ref[0]
+    for l in range(L):
+        xs_ref[l] = xcur
+        xcur, _, (th, sg, keepf) = _layer_fwd(xcur, l, refs, st)
+        th_ref[l] = th.astype(dtype)
+        sg_ref[l] = sg.astype(dtype)
+        if keepf is not None:
+            keep_ref[l] = keepf.astype(dtype)
+
+    def load(l):
+        keepf = (
+            keep_ref[l].astype(jnp.float32)
+            if st["drop_threshold"] is not None
+            else None
+        )
+        return (
+            xs_ref[l],
+            th_ref[l].astype(jnp.float32),
+            sg_ref[l].astype(jnp.float32),
+            keepf,
+        )
+
+    _reverse_walk(
+        load, mask, dout_ref[0], win_ref, wrs_ref,
+        dx_ref, dwin_ref, dbin_ref, dwrs_ref, dbrs_ref, dg_ref,
+        st=st, t=t, h=h, dtype=dtype,
+    )
+
+
+def _bwd_store_kernel(seed_ref, mask_ref, win_ref, wrs_ref,
+                      xs_ref, th_ref, sg_ref, dout_ref,
+                      dx_ref, dwin_ref, dbin_ref, dwrs_ref, dbrs_ref, dg_ref,
+                      *, st):
+    """Backward from forward-saved residuals: no recompute pass at all.
+    Dropout keep masks are replayed from the PRNG per layer."""
+    t, h = xs_ref.shape[2], xs_ref.shape[3]
+    dtype = xs_ref.dtype
+    mask = mask_ref[0]
+    st = dict(st, seed=seed_ref[0] + pl.program_id(0))
+    _zero_weight_accs(dwin_ref, dbin_ref, dwrs_ref, dbrs_ref)
+
+    def load(l):
+        keepf = (
+            _regen_keep(l, (t, 2 * h), st)
+            if st["drop_threshold"] is not None
+            else None
+        )
+        return (
+            xs_ref[0, l],
+            th_ref[0, l].astype(jnp.float32),
+            sg_ref[0, l].astype(jnp.float32),
+            keepf,
+        )
+
+    _reverse_walk(
+        load, mask, dout_ref[0], win_ref, wrs_ref,
+        dx_ref, dwin_ref, dbin_ref, dwrs_ref, dbrs_ref, dg_ref,
+        st=st, t=t, h=h, dtype=dtype,
+    )
+
+
 def _specs():
     """BlockSpec builders: const = resident across the batch grid (weights,
     accumulators); per_b = one sample per grid step."""
@@ -224,15 +309,38 @@ def _specs():
     return const, per_b
 
 
+def _grad_out_shapes(b, t, h, L, Kh, dtype):
+    shapes = (
+        jax.ShapeDtypeStruct((b, t, h), dtype),            # dx
+        jax.ShapeDtypeStruct((L, Kh, 2 * h), jnp.float32),  # dW_in
+        jax.ShapeDtypeStruct((L, 2 * h), jnp.float32),      # db_in
+        jax.ShapeDtypeStruct((L, h, 2 * h), jnp.float32),   # dW_rs
+        jax.ShapeDtypeStruct((L, 2 * h), jnp.float32),      # db_rs
+        jax.ShapeDtypeStruct((b, L, 2 * h), jnp.float32),   # dg
+    )
+    const, per_b = _specs()
+    specs = (
+        per_b((1, t, h)),
+        const((L, Kh, 2 * h)),
+        const((L, 2 * h)),
+        const((L, h, 2 * h)),
+        const((L, 2 * h)),
+        per_b((1, L, 2 * h)),
+    )
+    return shapes, specs
+
+
 def _wn_pallas_call(
     W_in, b_in, W_rs, b_rs, x, x_mask, g_all, seed_f,
-    *, st, interpret, with_grad=False, dout=None
+    *, st, interpret, mode="fwd", dout=None
 ):
+    """``mode``: "fwd" (plain forward), "fwd_save" (forward + HBM residuals),
+    "bwd" (recompute-in-kernel backward).  Residual-store backward has its
+    own entry point, ``_wn_bwd_store_call``."""
     b, t, h = x.shape
     L = st["n_layers"]
-    Kh = W_in.shape[1]
     const, per_b = _specs()
-
+    Kh = W_in.shape[1]
     in_specs = [
         per_b((1, t, h)),        # x
         per_b((1, t, 1)),        # mask
@@ -243,9 +351,8 @@ def _wn_pallas_call(
         per_b((1, L, 2 * h)),    # g
     ]
     args = [x, x_mask, W_in, b_in, W_rs, b_rs, g_all]
-    grid_spec = None
 
-    if not with_grad:
+    if mode == "fwd":
         kernel = functools.partial(_fwd_kernel, st=st)
         return pl.pallas_call(
             kernel,
@@ -259,23 +366,29 @@ def _wn_pallas_call(
             interpret=interpret,
         )(seed_f, *args)
 
+    if mode == "fwd_save":
+        kernel = functools.partial(_fwd_save_kernel, st=st)
+        res = per_b((1, L, t, h))
+        return pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(b,),
+                in_specs=in_specs,
+                out_specs=(per_b((1, t, h)), res, res, res),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((b, t, h), x.dtype),
+                jax.ShapeDtypeStruct((b, L, t, h), x.dtype),  # xs
+                jax.ShapeDtypeStruct((b, L, t, h), x.dtype),  # tanh gate
+                jax.ShapeDtypeStruct((b, L, t, h), x.dtype),  # sigmoid gate
+            ),
+            interpret=interpret,
+        )(seed_f, *args)
+
+    assert mode == "bwd", mode
     kernel = functools.partial(_bwd_kernel, st=st)
-    out_shapes = (
-        jax.ShapeDtypeStruct((b, t, h), x.dtype),          # dx
-        jax.ShapeDtypeStruct((L, Kh, 2 * h), jnp.float32),  # dW_in
-        jax.ShapeDtypeStruct((L, 2 * h), jnp.float32),      # db_in
-        jax.ShapeDtypeStruct((L, h, 2 * h), jnp.float32),   # dW_rs
-        jax.ShapeDtypeStruct((L, 2 * h), jnp.float32),      # db_rs
-        jax.ShapeDtypeStruct((b, L, 2 * h), jnp.float32),   # dg
-    )
-    out_specs = (
-        per_b((1, t, h)),
-        const((L, Kh, 2 * h)),
-        const((L, 2 * h)),
-        const((L, h, 2 * h)),
-        const((L, 2 * h)),
-        per_b((1, L, 2 * h)),
-    )
+    out_shapes, out_specs = _grad_out_shapes(b, t, h, L, Kh, x.dtype)
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -295,10 +408,40 @@ def _wn_pallas_call(
     )(seed_f, *args, dout)
 
 
+def _wn_bwd_store_call(
+    W_in, W_rs, x_mask, xs, th, sg, dout, seed_f, *, st, interpret
+):
+    """Backward pallas_call for residual-store mode."""
+    b, L, t, h = xs.shape
+    Kh = W_in.shape[1]
+    const, per_b = _specs()
+    res = per_b((1, L, t, h))
+    in_specs = [
+        per_b((1, t, 1)),        # mask
+        const((L, Kh, 2 * h)),   # W_in
+        const((L, h, 2 * h)),    # W_rs
+        res, res, res,           # xs, th, sg
+        per_b((1, t, h)),        # dout
+    ]
+    out_shapes, out_specs = _grad_out_shapes(b, t, h, L, Kh, xs.dtype)
+    kernel = functools.partial(_bwd_store_kernel, st=st)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+        ),
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(seed_f, x_mask, W_in, W_rs, xs, th, sg, dout)
+
+
 def wn_stack_fused(
     W_in, b_in, W_rs, b_rs, x, x_mask, g_all, seed,
     *, kernel_size, dilation_rate, n_layers, p_dropout, deterministic,
-    interpret=None,
+    interpret=None, residuals="recompute",
 ):
     """Differentiable fused WN stack.  Direct (folded) weights:
 
@@ -306,9 +449,18 @@ def wn_stack_fused(
     (last layer res-half zero), b_rs [L, 2h]; x [b, t, h]; x_mask [b, t, 1];
     g_all [b, L, 2h] (zeros when unconditioned); seed int32 scalar.
     Returns skip [b, t, h] (caller applies the final mask).
+
+    ``residuals``: "recompute" — backward re-runs the forward in-kernel
+    (stores nothing across fwd/bwd; minimal HBM, 3x-forward FLOPs);
+    "store" — forward writes per-layer inputs + gate activations to HBM
+    (3·L·t·h per sample) and backward skips the recompute pass (2x-forward
+    FLOPs).  "store" is the measured winner once the step is MXU-bound
+    (v5e, BASELINE.md round 3); "recompute" when HBM capacity/traffic is
+    the constraint.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    assert residuals in ("recompute", "store"), residuals
     drop = (not deterministic) and p_dropout > 0.0
     st = {
         "n_layers": n_layers,
@@ -321,7 +473,7 @@ def wn_stack_fused(
         "drop_scale": (1.0 / (1.0 - p_dropout)) if drop else 1.0,
     }
     seed_f = jnp.asarray(seed, jnp.int32).reshape((1,))
-    f = _make_fused_fn(_StaticKey(st_tuple(st), interpret))
+    f = _make_fused_fn(_StaticKey(st_tuple(st), interpret, residuals))
     return f(W_in, b_in, W_rs, b_rs, x, x_mask, g_all, seed_f)
 
 
@@ -337,6 +489,7 @@ def st_tuple(st: dict) -> tuple:
 class _StaticKey(typing.NamedTuple):
     st: tuple
     interpret: bool
+    residuals: str = "recompute"
 
     def as_dict(self) -> dict:
         n_layers, offs, thr, scale = self.st
@@ -355,6 +508,7 @@ def _make_fused_fn(key: "_StaticKey"):
     over a traced value inside custom_vjp breaks under remat/scan."""
     st = key.as_dict()
     interpret = key.interpret
+    store = key.residuals == "store"
 
     @jax.custom_vjp
     def f(W_in, b_in, W_rs, b_rs, x, x_mask, g_all, seed_f):
@@ -364,24 +518,47 @@ def _make_fused_fn(key: "_StaticKey"):
         )
 
     def f_fwd(W_in, b_in, W_rs, b_rs, x, x_mask, g_all, seed_f):
+        if store:
+            out, xs, th, sg = _wn_pallas_call(
+                W_in, b_in, W_rs, b_rs, x, x_mask, g_all, seed_f,
+                st=st, interpret=interpret, mode="fwd_save",
+            )
+            # zero-length dtype carriers: custom_vjp residuals must be JAX
+            # types, and backward needs the cotangent dtypes of the unsaved
+            # primals (b_in, b_rs, g_all)
+            dtypes = tuple(
+                jnp.zeros((0,), a.dtype) for a in (b_in, b_rs, g_all)
+            )
+            return out, (W_in, W_rs, x_mask, seed_f, xs, th, sg, dtypes)
         out = f(W_in, b_in, W_rs, b_rs, x, x_mask, g_all, seed_f)
         return out, (W_in, b_in, W_rs, b_rs, x, x_mask, g_all, seed_f)
 
     def f_bwd(res, dout):
-        W_in, b_in, W_rs, b_rs, x, x_mask, g_all, seed_f = res
-        dx, dwin, dbin, dwrs, dbrs, dg = _wn_pallas_call(
-            W_in, b_in, W_rs, b_rs, x, x_mask, g_all, seed_f,
-            st=st, interpret=interpret, with_grad=True, dout=dout,
-        )
+        if store:
+            W_in, W_rs, x_mask, seed_f, xs, th, sg, dtypes = res
+            din_t, drs_t = W_in.dtype, W_rs.dtype
+            bin_t, brs_t, dg_t = (a.dtype for a in dtypes)
+            dx, dwin, dbin, dwrs, dbrs, dg = _wn_bwd_store_call(
+                W_in, W_rs, x_mask, xs, th, sg, dout, seed_f,
+                st=st, interpret=interpret,
+            )
+        else:
+            W_in, b_in, W_rs, b_rs, x, x_mask, g_all, seed_f = res
+            din_t, bin_t = W_in.dtype, b_in.dtype
+            drs_t, brs_t, dg_t = W_rs.dtype, b_rs.dtype, g_all.dtype
+            dx, dwin, dbin, dwrs, dbrs, dg = _wn_pallas_call(
+                W_in, b_in, W_rs, b_rs, x, x_mask, g_all, seed_f,
+                st=st, interpret=interpret, mode="bwd", dout=dout,
+            )
         return (
-            dwin.astype(W_in.dtype),
-            dbin.astype(b_in.dtype),
-            dwrs.astype(W_rs.dtype),
-            dbrs.astype(b_rs.dtype),
+            dwin.astype(din_t),
+            dbin.astype(bin_t),
+            dwrs.astype(drs_t),
+            dbrs.astype(brs_t),
             dx,
             jnp.zeros_like(x_mask),
-            dg.astype(g_all.dtype),
-            np.zeros(seed_f.shape, dtype=jax.dtypes.float0),
+            dg.astype(dg_t),
+            np.zeros((1,), dtype=jax.dtypes.float0),
         )
 
     f.defvjp(f_fwd, f_bwd)
@@ -445,6 +622,7 @@ def wn_apply_pallas(
     p_dropout: float = 0.0,
     rng: typing.Optional[jax.Array] = None,
     deterministic: bool = True,
+    residuals: str = "recompute",
 ) -> jnp.ndarray:
     """Drop-in fused replacement for ops.flows.wn_apply (same signature)."""
     from .conv import conv1d
@@ -492,6 +670,7 @@ def wn_apply_pallas(
         n_layers=n_layers,
         p_dropout=p_dropout,
         deterministic=det,
+        residuals=residuals,
     )
     return out * x_mask
 

@@ -41,20 +41,25 @@ def _setup(h=16, L=4, K=5, b=3, t=24, gin=0, seed=0):
 
 @pytest.mark.parametrize("dilation", [1, 2])
 @pytest.mark.parametrize("gin", [0, 6])
-def test_fused_wn_matches_xla(dilation, gin):
+@pytest.mark.parametrize("residuals", ["recompute", "store"])
+def test_fused_wn_matches_xla(dilation, gin, residuals):
     h, L = 16, 3
     params, x, mask, g = _setup(h=h, L=L, gin=gin)
 
     out_xla = wn_apply(params, x, mask, g, h, dilation, L, deterministic=True)
     out_pl = wn_apply(
-        params, x, mask, g, h, dilation, L, deterministic=True, impl="pallas"
+        params, x, mask, g, h, dilation, L, deterministic=True, impl="pallas",
+        residuals=residuals,
     )
     np.testing.assert_allclose(
         np.asarray(out_pl), np.asarray(out_xla), atol=2e-6
     )
 
     def loss(p, gg, xx, impl):
-        o = wn_apply(p, xx, mask, gg, h, dilation, L, deterministic=True, impl=impl)
+        o = wn_apply(
+            p, xx, mask, gg, h, dilation, L, deterministic=True, impl=impl,
+            residuals=residuals,
+        )
         return jnp.sum(jnp.sin(o) * mask)
 
     args = (params, g, x)
@@ -158,13 +163,19 @@ def test_auto_defaults_resolve_per_backend():
         _resolve_wn_impl,
     )
 
+    from glow_tts_train_tpu.models.glow_tts import _resolve_wn_residuals
+
     hp = hyper_from_config(tiny_config())  # CPU backend under tests
     assert hp.wn_impl == "xla" and hp.remat is True
+    assert hp.wn_residuals == "recompute"
 
     assert _resolve_remat("auto", "pallas") == "none"
     assert _resolve_remat("auto", "xla") is True
     assert _resolve_remat("dots", "pallas") == "dots"  # explicit wins
     assert _resolve_wn_impl("xla") == "xla"
+    # measured winner (v5e b=192: 111.1 vs 124.7 ms) — recompute everywhere
+    assert _resolve_wn_residuals("auto", "pallas", "none") == "recompute"
+    assert _resolve_wn_residuals("store", "pallas", "none") == "store"
 
 
 def test_decoder_roundtrip_with_fused_wn():
