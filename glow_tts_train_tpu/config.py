@@ -175,6 +175,13 @@ class TrainingConfig:
     # real residual traffic.  "store" remains for recompute-dominated
     # shapes (long t, small h).
     wn_residuals: str = "auto"
+    # Fuse each entire training-forward flow block (folded actnorm∘invconv
+    # matmul + start/end 1x1 convs + WN stack + affine coupling + logdet
+    # reduction) into one Pallas kernel (ops/block_pallas.py) instead of
+    # running the non-WN pieces as separate XLA ops.  "auto" follows the
+    # resolved wn_impl (fused on TPU); True/False force.  Reverse
+    # (inference) and DDI always use the op-by-op path.
+    flow_block_fuse: typing.Union[bool, str] = "auto"
     # Host-RAM budget for lazily-loaded .npy mels, in total cached frames
     # (bytes ~= frames * mel_channels * 4).  The reference caches every mel
     # forever (dataset.py:56-59) — several GB of monotonic growth at

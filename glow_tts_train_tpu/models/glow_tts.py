@@ -82,6 +82,7 @@ class GlowTTSHyper(typing.NamedTuple):
     remat_encoder: bool = False
     wn_impl: str = "xla"
     wn_residuals: str = "recompute"
+    block_fuse: bool = False
 
     @property
     def h_enc(self) -> int:
@@ -109,6 +110,7 @@ class GlowTTSHyper(typing.NamedTuple):
             remat=self.remat,
             wn_impl=self.wn_impl,
             wn_residuals=self.wn_residuals,
+            block_fuse=self.block_fuse,
         )
 
 
@@ -150,6 +152,9 @@ def hyper_from_config(config: TrainingConfig) -> GlowTTSHyper:
         wn_residuals=_resolve_wn_residuals(
             getattr(config, "wn_residuals", "auto"), wn_impl, remat
         ),
+        block_fuse=_resolve_block_fuse(
+            getattr(config, "flow_block_fuse", "auto"), wn_impl
+        ),
     )
 
 
@@ -183,6 +188,15 @@ def _resolve_wn_residuals(value: str, wn_impl: str, remat) -> str:
     if value != "auto":
         return value
     return "recompute"
+
+
+def _resolve_block_fuse(value, wn_impl: str) -> bool:
+    """"auto" -> fuse the whole training-forward flow block into one Pallas
+    kernel wherever the fused WN kernel is already the resolved impl (TPU
+    backends); explicit True/False wins."""
+    if value != "auto":
+        return bool(value)
+    return wn_impl == "pallas"
 
 
 # ---------------------------------------------------------------------------

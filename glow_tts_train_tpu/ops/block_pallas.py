@@ -1,0 +1,515 @@
+"""Fused Pallas kernel for one ENTIRE flow block (training forward).
+
+One flow-decoder block is ActNorm → InvConvNear → affine coupling
+(reference models.py:193-211; layers.py:173-275; attentions.py:77-145).
+After the WN gated stack moved into a fused kernel (ops/wn_pallas.py) the
+remaining per-block XLA ops — the actnorm affine, the dense invconv
+matmul, the coupling start/end 1x1 convs, the affine transform, and the
+logdet reduction — still pay dot_general dispatch and reshape/relayout
+glue per block.  This kernel runs the whole block for one sample in VMEM;
+the lax.scan over blocks carries only (z, logdet) and saves one [t, c]
+residual per block.  Measured on v5e (base config): 75.12 → 73.78 ms/step
+at b=128 (+1.8%), 111.22 → 110.57 ms at b=192 (+0.6%) — XLA already
+overlapped most of the glue, but the fused block is never slower and is
+the "auto" default wherever the fused WN kernel is.
+
+Key trick: ActNorm and InvConvNear compose into ONE affine map, folded
+OUTSIDE the kernel in differentiable JAX (autodiff handles their params):
+
+    z_pre = (actnorm(x) applied mask) @ M^T * mask
+          = (x @ A + bA) * mask,   A = diag(e^logs) @ M^T,  bA = bias @ M^T
+
+with M the dense [c, c] expansion of the s x s invconv mix
+(ops/flows._invconv_dense).  Their logdets depend only on weights and
+x_len, so they also stay outside.  In-kernel per sample [t, c]:
+
+    zp       = (x @ A + bA) * mask
+    x0, x1   = zp[:, :c/2], zp[:, c/2:]
+    h0       = (x0 @ W_start + b_start) * mask
+    skip     = WN_stack(h0)                      (ops/wn_pallas layer loop)
+    out      = (skip * mask) @ W_end + b_end
+    m, logs  = out[:, :c/2], out[:, c/2:]        (+ optional sigmoid_scale)
+    z1       = (m + e^logs * x1) * mask
+    z        = concat(x0, z1);   ld = sum(logs * mask)
+
+Backward (custom VJP) recomputes the forward in-kernel (the measured
+winner over storing residuals — BASELINE.md round 3c) and walks back
+through end → WN reverse walk → start → the folded A matmul, with all
+weight-gradient accumulators resident in VMEM across the batch grid.
+
+Cited reference behavior: coupling forward/logdet attentions.py:119-142,
+actnorm layers.py:182-199, invconv layers.py:238-272.
+"""
+
+import functools
+import typing
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .wn_pallas import (
+    _layer_fwd,
+    _offsets,
+    _regen_keep,
+    _reverse_walk,
+    _specs,
+    _zero_weight_accs,
+    fold_wn_weights,
+    params_kernel_size,
+)
+
+Params = typing.Dict[str, typing.Any]
+
+
+def _apply_logs_transform(logs_raw, sigmoid_scale):
+    """Optional coupling reparam (attentions.py:131-132), f32 in-kernel."""
+    if sigmoid_scale:
+        return jnp.log(1e-6 + jax.nn.sigmoid(logs_raw + 2.0))
+    return logs_raw
+
+
+def _block_fwd_math(x, mask, refs, st, *, collect=None):
+    """Shared forward math for one sample.  Returns (z, ld, locals) where
+    ``locals`` holds the intermediates backward needs (zp, h0, skipm, out).
+    ``collect``: optional (xs_scratch, th_scratch, sg_scratch, keep_scratch)
+    to stash WN per-layer values during the pass (backward reuse)."""
+    (a_ref, ba_ref, ws_ref, bs_ref, we_ref, be_ref,
+     win_ref, bin_ref, wrs_ref, brs_ref, g_ref) = refs
+    t, c = x.shape
+    c2 = c // 2
+    h = ws_ref.shape[1]
+    dtype = x.dtype
+    maskf = mask.astype(jnp.float32)
+
+    zp = (
+        jnp.dot(x, a_ref[...], preferred_element_type=jnp.float32)
+        + ba_ref[0].astype(jnp.float32)[None, :]
+    ) * maskf
+    zp = zp.astype(dtype)
+    x0, x1 = zp[:, :c2], zp[:, c2:]
+
+    h0 = (
+        (
+            jnp.dot(x0, ws_ref[...], preferred_element_type=jnp.float32)
+            + bs_ref[0].astype(jnp.float32)[None, :]
+        )
+        * maskf
+    ).astype(dtype)
+
+    wn_refs = (win_ref, bin_ref, wrs_ref, brs_ref, g_ref, mask)
+    xcur = h0
+    skip = jnp.zeros((t, h), jnp.float32)
+    for l in range(st["n_layers"]):
+        if collect is not None:
+            collect[0][l] = xcur
+        xcur, skip_inc, (th, sg, keepf) = _layer_fwd(xcur, l, wn_refs, st)
+        if collect is not None:
+            collect[1][l] = th.astype(dtype)
+            collect[2][l] = sg.astype(dtype)
+            if keepf is not None:
+                collect[3][l] = keepf.astype(dtype)
+        skip = skip + skip_inc.astype(jnp.float32)
+    skipm = (skip.astype(dtype) * mask).astype(dtype)
+
+    out = (
+        jnp.dot(skipm, we_ref[...], preferred_element_type=jnp.float32)
+        + be_ref[0].astype(jnp.float32)[None, :]
+    ).astype(dtype)
+    m = out[:, :c2].astype(jnp.float32)
+    logs_raw = out[:, c2:].astype(jnp.float32)
+    logs = _apply_logs_transform(logs_raw, st["sigmoid_scale"])
+
+    z1 = (m + jnp.exp(logs) * x1.astype(jnp.float32)) * maskf
+    z = jnp.concatenate([x0, z1.astype(dtype)], axis=1)
+    ld = jnp.sum(logs * maskf)
+    return z, ld, {
+        "zp": zp, "x0": x0, "x1": x1, "h0": h0, "skipm": skipm,
+        "logs": logs, "logs_raw": logs_raw, "maskf": maskf,
+    }
+
+
+def _block_fwd_kernel(seed_ref, x_ref, mask_ref, a_ref, ba_ref, ws_ref,
+                      bs_ref, we_ref, be_ref, win_ref, bin_ref, wrs_ref,
+                      brs_ref, g_ref, z_ref, ld_ref, *, st):
+    st = dict(st, seed=seed_ref[0] + pl.program_id(0))
+    refs = (a_ref, ba_ref, ws_ref, bs_ref, we_ref, be_ref,
+            win_ref, bin_ref, wrs_ref, brs_ref, g_ref)
+    z, ld, _ = _block_fwd_math(x_ref[0], mask_ref[0], refs, st)
+    z_ref[0] = z.astype(z_ref.dtype)
+    # Mosaic needs the last two block dims (8, 128)-aligned: pad the scalar
+    # logdet to one [8, 128] tile per sample (caller reads [:, 0, 0])
+    ld_ref[0] = jnp.full((8, 128), ld, jnp.float32)
+
+
+def _block_bwd_kernel(seed_ref, x_ref, mask_ref, a_ref, ba_ref, ws_ref,
+                      bs_ref, we_ref, be_ref, win_ref, bin_ref, wrs_ref,
+                      brs_ref, g_ref, dz_ref, dld_ref,
+                      dx_ref, da_ref, dba_ref, dws_ref, dbs_ref, dwe_ref,
+                      dbe_ref, dwin_ref, dbin_ref, dwrs_ref, dbrs_ref,
+                      dg_ref, xs_ref, th_ref, sg_ref, keep_ref, *, st):
+    t, c = x_ref.shape[1], x_ref.shape[2]
+    c2 = c // 2
+    h = ws_ref.shape[1]
+    dtype = x_ref.dtype
+    mask = mask_ref[0]
+    st = dict(st, seed=seed_ref[0] + pl.program_id(0))
+    refs = (a_ref, ba_ref, ws_ref, bs_ref, we_ref, be_ref,
+            win_ref, bin_ref, wrs_ref, brs_ref, g_ref)
+
+    _zero_weight_accs(dwin_ref, dbin_ref, dwrs_ref, dbrs_ref)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _zero_block_accs():
+        da_ref[...] = jnp.zeros_like(da_ref)
+        dba_ref[...] = jnp.zeros_like(dba_ref)
+        dws_ref[...] = jnp.zeros_like(dws_ref)
+        dbs_ref[...] = jnp.zeros_like(dbs_ref)
+        dwe_ref[...] = jnp.zeros_like(dwe_ref)
+        dbe_ref[...] = jnp.zeros_like(dbe_ref)
+
+    # ---- forward recompute (WN per-layer values stashed in scratch) ----
+    collect = (xs_ref, th_ref, sg_ref, keep_ref)
+    _, _, loc = _block_fwd_math(x_ref[0], mask, refs, st, collect=collect)
+    maskf = loc["maskf"]
+    x1f = loc["x1"].astype(jnp.float32)
+    e_logs = jnp.exp(loc["logs"])
+
+    # ---- affine coupling + end conv ----
+    dz = dz_ref[0].astype(jnp.float32)
+    dld = dld_ref[0, 0, 0]
+    dz0 = dz[:, :c2]
+    dz1m = dz[:, c2:] * maskf
+    dm = dz1m
+    dlogs = dz1m * e_logs * x1f + dld * maskf  # ld = sum(logs * mask)
+    if st["sigmoid_scale"]:
+        # logs = log(1e-6 + sig(s+2)):  dlogs/ds = sig'(s+2)/(1e-6+sig(s+2))
+        sgm = jax.nn.sigmoid(loc["logs_raw"] + 2.0)
+        dlogs = dlogs * (sgm * (1.0 - sgm)) / (1e-6 + sgm)
+    dout = jnp.concatenate([dm, dlogs], axis=1)  # [t, c] f32
+    dwe_ref[...] += jnp.dot(
+        loc["skipm"].T, dout.astype(dtype), preferred_element_type=jnp.float32
+    )
+    dbe_ref[0] += jnp.sum(dout, axis=0)
+    dskip = (
+        jnp.dot(dout.astype(dtype), we_ref[...].T,
+                preferred_element_type=jnp.float32)
+        * maskf
+    )  # cotangent of raw skip sum (skipm = skip * mask)
+
+    # ---- WN reverse walk (recompute-mode loads from scratch) ----
+    def load(l):
+        keepf = (
+            keep_ref[l].astype(jnp.float32)
+            if st["drop_threshold"] is not None
+            else None
+        )
+        return (
+            xs_ref[l],
+            th_ref[l].astype(jnp.float32),
+            sg_ref[l].astype(jnp.float32),
+            keepf,
+        )
+
+    dh0 = _reverse_walk(
+        load, mask, dskip.astype(dtype), win_ref, wrs_ref,
+        dwin_ref, dbin_ref, dwrs_ref, dbrs_ref, dg_ref,
+        st=st, t=t, h=h, dtype=dtype,
+    )
+
+    # ---- start conv:  h0 = (x0 @ W_s + b_s) * mask ----
+    d_pre = dh0 * maskf
+    dws_ref[...] += jnp.dot(
+        loc["x0"].T, d_pre.astype(dtype), preferred_element_type=jnp.float32
+    )
+    dbs_ref[0] += jnp.sum(d_pre, axis=0)
+    dx0 = dz0 + jnp.dot(
+        d_pre.astype(dtype), ws_ref[...].T, preferred_element_type=jnp.float32
+    )
+    dx1 = dz1m * e_logs
+
+    # ---- folded actnorm∘invconv:  zp = (x @ A + bA) * mask ----
+    dzp = jnp.concatenate([dx0, dx1], axis=1) * maskf
+    da_ref[...] += jnp.dot(
+        x_ref[0].T, dzp.astype(dtype), preferred_element_type=jnp.float32
+    )
+    dba_ref[0] += jnp.sum(dzp, axis=0)
+    dx_ref[0] = jnp.dot(
+        dzp.astype(dtype), a_ref[...].T, preferred_element_type=jnp.float32
+    ).astype(dx_ref.dtype)
+
+
+def _flow_block_call(
+    A, bA, W_s, b_s, W_e, b_e, W_in, b_in, W_rs, b_rs, x, x_mask, g_all,
+    seed_f, *, st, interpret, with_grad=False, dz=None, dld=None,
+):
+    b, t, c = x.shape
+    L = st["n_layers"]
+    h = W_s.shape[1]
+    Kh = W_in.shape[1]
+    const, per_b = _specs()
+
+    in_specs = [
+        per_b((1, t, c)),        # x
+        per_b((1, t, 1)),        # mask
+        const((c, c)),           # A
+        const((1, c)),           # bA
+        const((c // 2, h)),      # W_start
+        const((1, h)),           # b_start
+        const((h, c)),           # W_end
+        const((1, c)),           # b_end
+        const((L, Kh, 2 * h)),   # W_in
+        const((L, 2 * h)),       # b_in
+        const((L, h, 2 * h)),    # W_rs
+        const((L, 2 * h)),       # b_rs
+        per_b((1, L, 2 * h)),    # g
+    ]
+    args = [x, x_mask, A, bA, W_s, b_s, W_e, b_e, W_in, b_in, W_rs, b_rs,
+            g_all]
+
+    if not with_grad:
+        kernel = functools.partial(_block_fwd_kernel, st=st)
+        return pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(b,),
+                in_specs=in_specs,
+                out_specs=(per_b((1, t, c)), per_b((1, 8, 128))),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((b, t, c), x.dtype),
+                jax.ShapeDtypeStruct((b, 8, 128), jnp.float32),  # ld tile
+            ),
+            interpret=interpret,
+        )(seed_f, *args)
+
+    kernel = functools.partial(_block_bwd_kernel, st=st)
+    out_shapes = (
+        jax.ShapeDtypeStruct((b, t, c), x.dtype),           # dx
+        jax.ShapeDtypeStruct((c, c), jnp.float32),           # dA
+        jax.ShapeDtypeStruct((1, c), jnp.float32),           # dbA
+        jax.ShapeDtypeStruct((c // 2, h), jnp.float32),      # dW_start
+        jax.ShapeDtypeStruct((1, h), jnp.float32),           # db_start
+        jax.ShapeDtypeStruct((h, c), jnp.float32),           # dW_end
+        jax.ShapeDtypeStruct((1, c), jnp.float32),           # db_end
+        jax.ShapeDtypeStruct((L, Kh, 2 * h), jnp.float32),   # dW_in
+        jax.ShapeDtypeStruct((L, 2 * h), jnp.float32),       # db_in
+        jax.ShapeDtypeStruct((L, h, 2 * h), jnp.float32),    # dW_rs
+        jax.ShapeDtypeStruct((L, 2 * h), jnp.float32),       # db_rs
+        jax.ShapeDtypeStruct((b, L, 2 * h), jnp.float32),    # dg
+    )
+    out_specs = (
+        per_b((1, t, c)),
+        const((c, c)),
+        const((1, c)),
+        const((c // 2, h)),
+        const((1, h)),
+        const((h, c)),
+        const((1, c)),
+        const((L, Kh, 2 * h)),
+        const((L, 2 * h)),
+        const((L, h, 2 * h)),
+        const((L, 2 * h)),
+        per_b((1, L, 2 * h)),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b,),
+            in_specs=in_specs + [per_b((1, t, c)), per_b((1, 8, 128))],
+            out_specs=out_specs,
+            scratch_shapes=[
+                pltpu.VMEM((L, t, h), x.dtype),       # xs (layer inputs)
+                pltpu.VMEM((L, t, h), x.dtype),       # tanh gate
+                pltpu.VMEM((L, t, h), x.dtype),       # sigmoid gate
+                pltpu.VMEM((L, t, 2 * h), x.dtype),   # dropout keep (0/1)
+            ],
+        ),
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(seed_f, *args, dz, dld)
+
+
+class _BlockKey(typing.NamedTuple):
+    st: tuple
+    interpret: bool
+
+
+def _st_from_key(key: "_BlockKey") -> dict:
+    n_layers, offs, thr, scale, sigmoid_scale = key.st
+    return {
+        "n_layers": n_layers,
+        "offs": offs,
+        "drop_threshold": thr,
+        "drop_scale": scale,
+        "sigmoid_scale": sigmoid_scale,
+    }
+
+
+@functools.lru_cache(maxsize=None)
+def _make_block_fn(key: "_BlockKey"):
+    """custom_vjp flow-block function per static config (same seed-as-
+    argument discipline as wn_pallas._make_fused_fn)."""
+    st = _st_from_key(key)
+    interpret = key.interpret
+
+    @jax.custom_vjp
+    def f(A, bA, W_s, b_s, W_e, b_e, W_in, b_in, W_rs, b_rs, x, x_mask,
+          g_all, seed_f):
+        z, ld = _flow_block_call(
+            A, bA, W_s, b_s, W_e, b_e, W_in, b_in, W_rs, b_rs, x, x_mask,
+            g_all, seed_f, st=st, interpret=interpret,
+        )
+        return z, ld[:, 0, 0]
+
+    def f_fwd(A, bA, W_s, b_s, W_e, b_e, W_in, b_in, W_rs, b_rs, x, x_mask,
+              g_all, seed_f):
+        out = f(A, bA, W_s, b_s, W_e, b_e, W_in, b_in, W_rs, b_rs, x,
+                x_mask, g_all, seed_f)
+        return out, (A, bA, W_s, b_s, W_e, b_e, W_in, b_in, W_rs, b_rs, x,
+                     x_mask, g_all, seed_f)
+
+    def f_bwd(res, cot):
+        (A, bA, W_s, b_s, W_e, b_e, W_in, b_in, W_rs, b_rs, x, x_mask,
+         g_all, seed_f) = res
+        dz, dld = cot
+        b = x.shape[0]
+        dld_pad = jnp.broadcast_to(
+            dld.astype(jnp.float32)[:, None, None], (b, 8, 128)
+        )
+        (dx, dA, dbA, dws, dbs, dwe, dbe, dwin, dbin, dwrs, dbrs,
+         dg) = _flow_block_call(
+            A, bA, W_s, b_s, W_e, b_e, W_in, b_in, W_rs, b_rs, x, x_mask,
+            g_all, seed_f, st=st, interpret=interpret, with_grad=True,
+            dz=dz, dld=dld_pad,
+        )
+        return (
+            dA.astype(A.dtype),
+            dbA[0].astype(bA.dtype).reshape(bA.shape),
+            dws.astype(W_s.dtype),
+            dbs[0].astype(b_s.dtype).reshape(b_s.shape),
+            dwe.astype(W_e.dtype),
+            dbe[0].astype(b_e.dtype).reshape(b_e.shape),
+            dwin.astype(W_in.dtype),
+            dbin.astype(b_in.dtype),
+            dwrs.astype(W_rs.dtype),
+            dbrs.astype(b_rs.dtype),
+            dx,
+            jnp.zeros_like(x_mask),
+            dg.astype(g_all.dtype),
+            np.zeros((1,), dtype=jax.dtypes.float0),
+        )
+
+    f.defvjp(f_fwd, f_bwd)
+    return f
+
+
+def fold_block_params(block_params: Params, n_layers: int, n_split: int,
+                      dtype) -> dict:
+    """Block params → direct kernel weights, all in differentiable JAX
+    (autodiff routes the folded-weight cotangents back to actnorm logs/bias,
+    the s x s invconv weight, and the weight-normed start conv)."""
+    from .flows import _invconv_dense
+    from .conv import weight_norm_effective
+
+    an = block_params["actnorm"]
+    w_inv = block_params["invconv"]["weight"].astype(jnp.float32)
+    cp = block_params["coupling"]
+
+    ws_full = weight_norm_effective(cp["start"])  # [1, c/2, h]
+    c = 2 * ws_full.shape[1]
+    m = _invconv_dense(w_inv, c, n_split)  # [c, c]; z = x @ M^T
+    scale = jnp.exp(an["logs"].astype(jnp.float32))  # [c]
+    A = (scale[:, None] * m.T).astype(dtype)
+    bA = (an["bias"].astype(jnp.float32) @ m.T).reshape(1, c)
+
+    W_in, b_in, W_rs, b_rs = fold_wn_weights(cp["wn"], n_layers, dtype)
+    return {
+        "A": A,
+        "bA": bA,
+        "W_s": ws_full[0].astype(dtype),
+        "b_s": cp["start"]["b"].astype(jnp.float32).reshape(1, -1),
+        "W_e": cp["end"]["w"][0].astype(dtype),
+        "b_e": cp["end"]["b"].astype(jnp.float32).reshape(1, -1),
+        "W_in": W_in,
+        "b_in": b_in,
+        "W_rs": W_rs,
+        "b_rs": b_rs,
+    }
+
+
+def flow_block_fused(
+    block_params: Params,
+    x: jnp.ndarray,
+    x_mask: jnp.ndarray,
+    g: typing.Optional[jnp.ndarray],
+    *,
+    hidden_channels: int,
+    dilation_rate: int,
+    n_layers: int,
+    n_split: int,
+    sigmoid_scale: bool = False,
+    p_dropout: float = 0.0,
+    rng: typing.Optional[jax.Array] = None,
+    deterministic: bool = True,
+    interpret: typing.Optional[bool] = None,
+) -> typing.Tuple[jnp.ndarray, jnp.ndarray]:
+    """Training-forward of one flow block as a single fused kernel.
+
+    Returns ``(z, ld_coupling)`` — the block output [b, t, c] and the
+    coupling's per-sample logdet Σ logs·mask [b] (f32).  The actnorm and
+    invconv logdet terms depend only on weights and x_len and stay in the
+    caller (flows.decoder_fwd).  Inference/reverse and DDI use the op-by-op
+    path (they run once, not per step).
+    """
+    from .conv import conv1d
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    b, t, c = x.shape
+    h = hidden_channels
+    drop = (not deterministic) and p_dropout > 0.0 and rng is not None
+    folded = fold_block_params(block_params, n_layers, n_split, x.dtype)
+
+    wn_params = block_params["coupling"]["wn"]
+    if g is not None:
+        g_all = conv1d(g, wn_params["cond"]).astype(x.dtype)
+        g_all = g_all.reshape(b, n_layers, 2 * h)
+    else:
+        g_all = jnp.zeros((b, n_layers, 2 * h), x.dtype)
+
+    if drop:
+        seed = jax.random.randint(
+            rng, (), minval=0, maxval=np.int32(2 ** 31 - 1), dtype=jnp.int32
+        )
+    else:
+        seed = jnp.zeros((), jnp.int32)
+    seed_f = jnp.asarray(seed, jnp.int32).reshape((1,))
+
+    st = (
+        n_layers,
+        tuple(
+            _offsets(params_kernel_size(wn_params), dilation_rate ** l)
+            for l in range(n_layers)
+        ),
+        (
+            np.uint32(min(round(p_dropout * 2 ** 32), 2 ** 32 - 1))
+            if drop
+            else None
+        ),
+        (1.0 / (1.0 - p_dropout)) if drop else 1.0,
+        bool(sigmoid_scale),
+    )
+    fn = _make_block_fn(_BlockKey(st, interpret))
+    mask = jnp.broadcast_to(x_mask.astype(x.dtype), (b, t, 1))
+    z, ld = fn(
+        folded["A"], folded["bA"], folded["W_s"], folded["b_s"],
+        folded["W_e"], folded["b_e"], folded["W_in"], folded["b_in"],
+        folded["W_rs"], folded["b_rs"], x, mask, g_all, seed_f,
+    )
+    return z, ld

@@ -434,6 +434,10 @@ class DecoderHyper(typing.NamedTuple):
     # "store" (forward saves layer inputs + gates to HBM; backward skips
     # the recompute pass) — see wn_pallas.wn_stack_fused
     wn_residuals: str = "recompute"
+    # Fuse each ENTIRE training-forward block (folded actnorm∘invconv
+    # matmul + start/end 1x1 + WN stack + affine coupling + logdet) into
+    # one Pallas kernel (ops/block_pallas.py).  Reverse/DDI stay op-by-op.
+    block_fuse: bool = False
 
 
 def decoder_init(rng: jax.Array, hp: DecoderHyper) -> Params:
@@ -472,12 +476,53 @@ def decoder_fwd(
         x, x_mask = squeeze(x, x_mask, hp.n_sqz)
     use_rng = rng if rng is not None else jax.random.PRNGKey(0)
 
+    # block_fuse needs the TPU PRNG for in-kernel dropout; off-TPU with
+    # dropout active, fall back to the op-by-op body (same policy as
+    # wn_apply_pallas)
+    fused = hp.block_fuse and (
+        deterministic
+        or hp.p_dropout == 0.0
+        or rng is None
+        or jax.default_backend() == "tpu"
+    )
+    if fused:
+        from .block_pallas import flow_block_fused
+
+        c = x.shape[-1]
+        x_len = jnp.sum(x_mask.astype(jnp.float32), axis=(1, 2))  # [b]
+
     def block(carry, block_params):
         return _block_body(carry, block_params)
 
     def _block_body(carry, block_params):
         x, logdet_tot, i = carry
         brng = jax.random.fold_in(use_rng, i)
+        if fused:
+            # actnorm/invconv logdets depend only on weights and x_len —
+            # they stay outside the kernel (actnorm_fwd / invconv_apply
+            # semantics, layers.py:197 and :265)
+            ld1 = jnp.sum(
+                block_params["actnorm"]["logs"].astype(jnp.float32)
+            ) * x_len
+            _, logabsdet = jnp.linalg.slogdet(
+                block_params["invconv"]["weight"].astype(jnp.float32)
+            )
+            ld2 = logabsdet * (c / hp.n_split) * x_len
+            x, ld3 = flow_block_fused(
+                block_params,
+                x,
+                x_mask,
+                g,
+                hidden_channels=hp.hidden_channels,
+                dilation_rate=hp.dilation_rate,
+                n_layers=hp.n_layers,
+                n_split=hp.n_split,
+                sigmoid_scale=hp.sigmoid_scale,
+                p_dropout=hp.p_dropout,
+                rng=brng,
+                deterministic=deterministic,
+            )
+            return (x, logdet_tot + ld1 + ld2 + ld3, i + 1), None
         x, ld1 = actnorm_fwd(block_params["actnorm"], x, x_mask)
         x, ld2 = invconv_apply(block_params["invconv"], x, x_mask, reverse=False)
         x, ld3 = coupling_apply(

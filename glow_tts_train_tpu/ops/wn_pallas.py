@@ -162,12 +162,13 @@ def _fwd_save_kernel(seed_ref, x_ref, mask_ref, win_ref, bin_ref, wrs_ref,
 
 
 def _reverse_walk(load, mask, dout, win_ref, wrs_ref,
-                  dx_ref, dwin_ref, dbin_ref, dwrs_ref, dbrs_ref, dg_ref,
+                  dwin_ref, dbin_ref, dwrs_ref, dbrs_ref, dg_ref,
                   *, st, t, h, dtype):
     """The 4-matmul-per-layer reverse walk (da, dW_rs, d_cols, dW_in),
-    shared by both backward kernels.  ``load(l)`` returns that layer's
+    shared by all backward kernels.  ``load(l)`` returns that layer's
     ``(x_l, th, sg, keepf)`` — from VMEM scratch (recompute mode) or from
-    HBM-stored residuals (store mode)."""
+    HBM-stored residuals (store mode).  Returns the stack-input cotangent
+    g_x [t, h] (f32)."""
     g_skip = dout.astype(jnp.float32)  # [t, h], same for every layer
     g_x = jnp.zeros((t, h), jnp.float32)
     for l in range(st["n_layers"] - 1, -1, -1):
@@ -207,7 +208,7 @@ def _reverse_walk(load, mask, dout, win_ref, wrs_ref,
                 d_cols[:, k * h : (k + 1) * h], -off, t
             )
         g_x = g_x * mask.astype(jnp.float32) + dx_conv
-    dx_ref[0] = g_x.astype(dx_ref.dtype)
+    return g_x
 
 
 def _zero_weight_accs(dwin_ref, dbin_ref, dwrs_ref, dbrs_ref):
@@ -256,11 +257,12 @@ def _bwd_kernel(seed_ref, x_ref, mask_ref, win_ref, bin_ref, wrs_ref, brs_ref,
             keepf,
         )
 
-    _reverse_walk(
+    g_x = _reverse_walk(
         load, mask, dout_ref[0], win_ref, wrs_ref,
-        dx_ref, dwin_ref, dbin_ref, dwrs_ref, dbrs_ref, dg_ref,
+        dwin_ref, dbin_ref, dwrs_ref, dbrs_ref, dg_ref,
         st=st, t=t, h=h, dtype=dtype,
     )
+    dx_ref[0] = g_x.astype(dx_ref.dtype)
 
 
 def _bwd_store_kernel(seed_ref, mask_ref, win_ref, wrs_ref,
@@ -288,11 +290,12 @@ def _bwd_store_kernel(seed_ref, mask_ref, win_ref, wrs_ref,
             keepf,
         )
 
-    _reverse_walk(
+    g_x = _reverse_walk(
         load, mask, dout_ref[0], win_ref, wrs_ref,
-        dx_ref, dwin_ref, dbin_ref, dwrs_ref, dbrs_ref, dg_ref,
+        dwin_ref, dbin_ref, dwrs_ref, dbrs_ref, dg_ref,
         st=st, t=t, h=h, dtype=dtype,
     )
+    dx_ref[0] = g_x.astype(dx_ref.dtype)
 
 
 def _specs():

@@ -1,0 +1,161 @@
+"""Whole-flow-block fused Pallas kernel (ops/block_pallas.py) vs op-by-op.
+
+One training-forward flow block — actnorm∘invconv folded into a single
+[c, c] affine, coupling start/end 1x1 convs, the WN gated stack, the
+affine transform, and the coupling logdet — runs as ONE Pallas kernel.
+It must be a drop-in numerical replacement for the
+actnorm_fwd → invconv_apply → coupling_apply chain: forward outputs,
+total logdet (actnorm/invconv terms computed outside from weights+x_len),
+and every parameter gradient (through the differentiable weight fold)
+agree to fp32 round-off.  Reference block semantics:
+models.py:193-211, layers.py:173-275, attentions.py:77-145.
+
+CPU runs use Pallas interpret mode (same math, XLA-compiled).
+"""
+
+import dataclasses
+
+import jax
+import jax.flatten_util as fu
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from glow_tts_train_tpu.ops import flows
+
+from helpers import random_batch, tiny_config
+
+
+def _decoder_pair(**over):
+    base = dict(
+        in_channels=80, hidden_channels=64, kernel_size=5, dilation_rate=1,
+        n_blocks=3, n_layers=2, n_split=4, n_sqz=2, sigmoid_scale=False,
+        gin_channels=0, p_dropout=0.0, unroll=False, remat=False,
+        wn_impl="xla", wn_residuals="recompute",
+    )
+    base.update(over)
+    return (
+        flows.DecoderHyper(**base, block_fuse=False),
+        flows.DecoderHyper(**base, block_fuse=True),
+    )
+
+
+def _inputs(b=2, t=24, c=80, gin=0, seed=1):
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.standard_normal((b, t, c)), jnp.float32)
+    lens = np.linspace(t, max(t - 7, 2), num=b).astype(int)
+    mask = jnp.asarray(
+        (np.arange(t)[None, :, None] < lens[:, None, None]).astype(np.float32)
+    )
+    g = (
+        jnp.asarray(rng.standard_normal((b, 1, gin)), jnp.float32)
+        if gin
+        else None
+    )
+    return x * mask, mask, g
+
+
+@pytest.mark.parametrize(
+    "over",
+    [
+        {},
+        {"sigmoid_scale": True},
+        {"gin_channels": 16},
+        {"kernel_size": 3, "dilation_rate": 2, "n_layers": 3},
+        {"n_split": 8, "n_sqz": 1},
+        {"remat": "wn"},
+    ],
+    ids=["base", "sigmoid", "gin", "k3d2L3", "split8sqz1", "remat_wn"],
+)
+def test_fused_block_matches_op_by_op(over):
+    hp_ref, hp_fused = _decoder_pair(**over)
+    params = flows.decoder_init(jax.random.PRNGKey(0), hp_ref)
+    x, mask, g = _inputs(gin=over.get("gin_channels", 0))
+
+    def loss(p, hp):
+        z, ld = flows.decoder_fwd(p, x, mask, hp, g=g, deterministic=True)
+        return jnp.sum(z**2) + jnp.sum(ld), (z, ld)
+
+    (_, (z1, ld1)), g1 = jax.value_and_grad(loss, has_aux=True)(params, hp_ref)
+    (_, (z2, ld2)), g2 = jax.value_and_grad(loss, has_aux=True)(
+        params, hp_fused
+    )
+    np.testing.assert_allclose(np.asarray(z2), np.asarray(z1), atol=3e-6)
+    np.testing.assert_allclose(np.asarray(ld2), np.asarray(ld1), rtol=1e-6)
+    f1, _ = fu.ravel_pytree(g1)
+    f2, _ = fu.ravel_pytree(g2)
+    scale = float(jnp.max(jnp.abs(f1)))
+    np.testing.assert_allclose(
+        np.asarray(f2), np.asarray(f1), atol=2e-6 * max(scale, 1.0)
+    )
+
+
+def test_fused_block_train_step_equivalent():
+    """Full jitted train step: same loss/grad-norm as the unfused path."""
+    from glow_tts_train_tpu import training
+
+    losses = {}
+    for fuse in (False, True):
+        config = dataclasses.replace(
+            tiny_config(p_dropout=0.0, p_dropout_dec=0.0),
+            wn_impl="pallas",
+            remat_blocks="none",
+            flow_block_fuse=fuse,
+        )
+        batch = random_batch(config, np.random.default_rng(7))
+        state = training.create_state(config, jax.random.PRNGKey(0))
+        step_fn = training.make_train_step(config, donate=False)
+        for i in range(3):
+            state, metrics = step_fn(state, batch, jax.random.PRNGKey(i))
+        losses[fuse] = (float(metrics["loss"]), float(metrics["grad_norm"]))
+    assert np.allclose(losses[True], losses[False], rtol=1e-5), losses
+
+
+def test_fused_block_roundtrip():
+    """fwd (fused) ∘ inv (op-by-op — inference always unfused) ≡ identity.
+
+    Lengths must be multiples of n_sqz: squeeze drops an odd tail frame by
+    construction (reference commons.py squeeze semantics), which is not a
+    roundtrip property of the blocks."""
+    _, hp_fused = _decoder_pair()
+    params = flows.decoder_init(jax.random.PRNGKey(2), hp_fused)
+    x, mask, _ = _inputs()
+    mask = jnp.asarray(
+        (np.arange(24)[None, :, None] < np.array([24, 18])[:, None, None])
+        .astype(np.float32)
+    )
+    x = x * mask
+    z, logdet = flows.decoder_fwd(params, x, mask, hp_fused, deterministic=True)
+    x_back, _ = flows.decoder_inv(params, z, mask, hp_fused)
+    np.testing.assert_allclose(np.asarray(x_back), np.asarray(x), atol=2e-5)
+    assert np.isfinite(np.asarray(logdet)).all()
+
+
+def test_fused_block_dropout_fallback_off_tpu():
+    """Off-TPU with dropout active, decoder_fwd silently takes the op-by-op
+    body (the kernel's dropout needs the TPU PRNG) and matches it exactly."""
+    hp_ref, hp_fused = _decoder_pair(p_dropout=0.3)
+    params = flows.decoder_init(jax.random.PRNGKey(0), hp_ref)
+    x, mask, _ = _inputs()
+    rng = jax.random.PRNGKey(9)
+    z1, ld1 = flows.decoder_fwd(
+        params, x, mask, hp_ref, rng=rng, deterministic=False
+    )
+    z2, ld2 = flows.decoder_fwd(
+        params, x, mask, hp_fused, rng=rng, deterministic=False
+    )
+    np.testing.assert_array_equal(np.asarray(z2), np.asarray(z1))
+    np.testing.assert_array_equal(np.asarray(ld2), np.asarray(ld1))
+
+
+def test_block_fuse_auto_resolution():
+    """config flow_block_fuse="auto" follows the resolved wn_impl."""
+    from glow_tts_train_tpu.models import hyper_from_config
+    from glow_tts_train_tpu.models.glow_tts import _resolve_block_fuse
+
+    hp = hyper_from_config(tiny_config())  # CPU backend under tests
+    assert hp.block_fuse is False
+    assert _resolve_block_fuse("auto", "pallas") is True
+    assert _resolve_block_fuse("auto", "xla") is False
+    assert _resolve_block_fuse(False, "pallas") is False  # explicit wins
+    assert _resolve_block_fuse(True, "xla") is True
