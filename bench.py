@@ -316,8 +316,10 @@ def main():
 
     step_time, frames_per_sec = bench_train(config)
     # larger batches amortize weight traffic; with the fused WN kernel
-    # (round 3) the old b>=192 memory-pressure regression is gone and
-    # b=192 is the measured peak (b=128 kept for round-over-round history)
+    # (round 3) the old b>=192 memory-pressure regression is gone.  After
+    # the hoisted batched weight fold (round 3e) the measured sweep is
+    # 96:1.106M / 128:1.154M / 160:1.127M / 192:1.122M / 256:1.104M f/s —
+    # b=128 is the peak; b=192 kept for round-over-round history.
     step_time_b128, frames_per_sec_b128 = bench_train(config, b=128)
     step_time_b192, frames_per_sec_b192 = bench_train(config, b=192)
     rtf, infer_time, infer_frames = bench_infer_rtf(config)

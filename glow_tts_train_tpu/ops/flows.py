@@ -486,43 +486,47 @@ def decoder_fwd(
         or jax.default_backend() == "tpu"
     )
     if fused:
-        from .block_pallas import flow_block_fused
+        from .block_pallas import flow_block_fused_folded, fold_blocks_stacked
 
         c = x.shape[-1]
         x_len = jnp.sum(x_mask.astype(jnp.float32), axis=(1, 2))  # [b]
+        # batched weight fold for all blocks at once, outside the scan —
+        # folding per iteration makes the folded weights scan residuals
+        # (~5 ms/step of dynamic_update_slice stacking at b=192)
+        folded_all, logs_sum_all, logabsdet_all, g_all_blocks = (
+            fold_blocks_stacked(
+                params["blocks"], hp.n_layers, hp.n_split, x.dtype, g,
+                hp.hidden_channels,
+            )
+        )
 
-    def block(carry, block_params):
-        return _block_body(carry, block_params)
+    def _fused_body(carry, xs):
+        folded, logs_sum, logabsdet, g_blk = xs
+        x, logdet_tot, i = carry
+        brng = jax.random.fold_in(use_rng, i)
+        # actnorm/invconv logdets depend only on weights and x_len — they
+        # stay outside the kernel (actnorm_fwd / invconv_apply semantics,
+        # layers.py:197 and :265)
+        ld1 = logs_sum * x_len
+        ld2 = logabsdet * (c / hp.n_split) * x_len
+        x, ld3 = flow_block_fused_folded(
+            folded,
+            g_blk,
+            x,
+            x_mask,
+            kernel_size=hp.kernel_size,
+            dilation_rate=hp.dilation_rate,
+            n_layers=hp.n_layers,
+            sigmoid_scale=hp.sigmoid_scale,
+            p_dropout=hp.p_dropout,
+            rng=brng,
+            deterministic=deterministic,
+        )
+        return (x, logdet_tot + ld1 + ld2 + ld3, i + 1), None
 
     def _block_body(carry, block_params):
         x, logdet_tot, i = carry
         brng = jax.random.fold_in(use_rng, i)
-        if fused:
-            # actnorm/invconv logdets depend only on weights and x_len —
-            # they stay outside the kernel (actnorm_fwd / invconv_apply
-            # semantics, layers.py:197 and :265)
-            ld1 = jnp.sum(
-                block_params["actnorm"]["logs"].astype(jnp.float32)
-            ) * x_len
-            _, logabsdet = jnp.linalg.slogdet(
-                block_params["invconv"]["weight"].astype(jnp.float32)
-            )
-            ld2 = logabsdet * (c / hp.n_split) * x_len
-            x, ld3 = flow_block_fused(
-                block_params,
-                x,
-                x_mask,
-                g,
-                hidden_channels=hp.hidden_channels,
-                dilation_rate=hp.dilation_rate,
-                n_layers=hp.n_layers,
-                n_split=hp.n_split,
-                sigmoid_scale=hp.sigmoid_scale,
-                p_dropout=hp.p_dropout,
-                rng=brng,
-                deterministic=deterministic,
-            )
-            return (x, logdet_tot + ld1 + ld2 + ld3, i + 1), None
         x, ld1 = actnorm_fwd(block_params["actnorm"], x, x_mask)
         x, ld2 = invconv_apply(block_params["invconv"], x, x_mask, reverse=False)
         x, ld3 = coupling_apply(
@@ -547,6 +551,7 @@ def decoder_fwd(
         f"remat_blocks must be true/false/'full'/'dots'/'xin'/'wn'/'none', "
         f"got {hp.remat!r}"
     )
+    body = _fused_body if fused else _block_body
     if hp.remat and hp.remat != "none":
         # recompute block activations (incl. dropout masks — the rng replay
         # reproduces them) in backward instead of storing 12 blocks'
@@ -568,17 +573,22 @@ def decoder_fwd(
             policy = jax.checkpoint_policies.save_only_these_names("wn_xin")
         elif hp.remat == "wn":
             policy = jax.checkpoint_policies.save_only_these_names("wn_out")
-        block = jax.checkpoint(_block_body, policy=policy)
+        body = jax.checkpoint(body, policy=policy)
 
     b = x.shape[0]
     carry = (x, jnp.zeros((b,), jnp.float32), jnp.int32(0))
+    xs = (
+        (folded_all, logs_sum_all, logabsdet_all, g_all_blocks)
+        if fused
+        else params["blocks"]
+    )
     if hp.unroll:
         for i in range(hp.n_blocks):
-            bp = jax.tree_util.tree_map(lambda a: a[i], params["blocks"])
-            carry, _ = block(carry, bp)
+            xi = jax.tree_util.tree_map(lambda a, i=i: a[i], xs)
+            carry, _ = body(carry, xi)
         x, logdet_tot, _ = carry
     else:
-        (x, logdet_tot, _), _ = jax.lax.scan(block, carry, params["blocks"])
+        (x, logdet_tot, _), _ = jax.lax.scan(body, carry, xs)
     if hp.n_sqz > 1:
         x, x_mask = unsqueeze(x, x_mask, hp.n_sqz)
     return x, logdet_tot
