@@ -55,10 +55,12 @@ def capture(trace_dir: str, b: int, t_x: int, t_y: int, steps: int = 10):
 def report(trace_dir: str, steps: int, top: int = 20):
     from xprof.convert import raw_to_tool_data as rtd
 
-    xplane = glob.glob(f"{trace_dir}/plugins/profile/*/*.xplane.pb")
+    # repeat runs stack session dirs under trace_dir; the converter chokes
+    # on multiple xplanes — take the newest session only
+    xplane = sorted(glob.glob(f"{trace_dir}/plugins/profile/*/*.xplane.pb"))
     if not xplane:
         raise SystemExit(f"no .xplane.pb under {trace_dir}")
-    out, _ = rtd.xspace_to_tool_data(xplane, "framework_op_stats", {})
+    out, _ = rtd.xspace_to_tool_data(xplane[-1:], "framework_op_stats", {})
     table = json.loads(out.decode() if isinstance(out, bytes) else out)[0]
     cols = [c["id"] for c in table["cols"]]
     i_op = cols.index("operation")
