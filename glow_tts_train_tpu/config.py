@@ -144,9 +144,11 @@ class TrainingConfig:
     # outputs), "dots" (store all conv/matmul outputs), False/"none".
     remat_blocks: typing.Union[bool, str] = "auto"
     # Rematerialize encoder attention layers too. Off by default: measured
-    # -2% at b=32 (the encoder stores little) and +0.8% at b=128; enable
-    # for long-t_x or memory-pressure configs.
-    remat_encoder: bool = False
+    # -2% at b=32 (the encoder stores little), +2% at b=128 even with the
+    # "dots" policy (keep conv/matmul outputs, recompute elementwise glue:
+    # 74.8 vs 73.3 ms) — storing beats recomputing at base shapes; enable
+    # (True/"full" or "dots") for long-t_x or memory-pressure configs.
+    remat_encoder: typing.Union[bool, str] = False
     # Checkpoint artifact format: "npz" (single portable file) or "orbax"
     # (directory; async, multi-host-safe, per-shard arrays — use at pod scale).
     checkpoint_format: str = "npz"

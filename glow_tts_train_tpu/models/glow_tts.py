@@ -79,7 +79,7 @@ class GlowTTSHyper(typing.NamedTuple):
     prenet: bool = False
     unroll: bool = False
     remat: bool = True
-    remat_encoder: bool = False
+    remat_encoder: typing.Union[bool, str] = False
     wn_impl: str = "xla"
     wn_residuals: str = "recompute"
     block_fuse: bool = False

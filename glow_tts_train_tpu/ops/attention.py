@@ -305,14 +305,17 @@ def encoder_apply(
     rng: typing.Optional[jax.Array] = None,
     deterministic: bool = True,
     unroll: bool = False,
-    remat: bool = False,
+    remat: typing.Union[bool, str] = False,
 ) -> jnp.ndarray:
     """x: [b, t, c]; x_mask: [b, t, 1].
 
     ``unroll``: python-loop the layers instead of lax.scan (~5% faster on
     v5e, 3.5x slower compile — see flows.DecoderHyper.unroll).
     ``remat``: recompute layer activations in backward instead of storing
-    them (same HBM-traffic trade as the flow blocks, flows.decoder_fwd)."""
+    them (same HBM-traffic trade as the flow blocks, flows.decoder_fwd).
+    True/"full" recomputes everything; "dots" keeps conv/matmul outputs
+    and recomputes only the elementwise glue (softmax, layernorm, rel-pos
+    reshapes) — cheaper recompute, smaller residual stack than none."""
     attn_mask = (x_mask[:, :, 0][:, None, :] * x_mask[:, :, 0][:, :, None])
     use_rng = rng if rng is not None else jax.random.PRNGKey(0)
 
@@ -349,8 +352,12 @@ def encoder_apply(
         x = layer_norm(x + y, layer_params["norm_2"])
         return (x, i + 1), None
 
-    if remat:
-        layer = jax.checkpoint(layer)
+    assert remat in (True, False, "full", "dots", "none"), remat
+    if remat and remat != "none":
+        policy = (
+            jax.checkpoint_policies.dots_saveable if remat == "dots" else None
+        )
+        layer = jax.checkpoint(layer, policy=policy)
 
     carry = (x, jnp.int32(0))
     if unroll:

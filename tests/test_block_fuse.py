@@ -159,3 +159,46 @@ def test_block_fuse_auto_resolution():
     assert _resolve_block_fuse("auto", "xla") is False
     assert _resolve_block_fuse(False, "pallas") is False  # explicit wins
     assert _resolve_block_fuse(True, "xla") is True
+
+
+def test_stacked_fold_matches_per_block():
+    """fold_blocks_stacked (the vmapped whole-stack fold decoder_fwd scans
+    over) must produce exactly the per-block fold_block_params tensors plus
+    the actnorm/invconv logdet coefficients and conditioning pre-conv."""
+    from glow_tts_train_tpu.ops import block_pallas as bp
+    from glow_tts_train_tpu.ops.conv import conv1d
+
+    hp_ref, _ = _decoder_pair(gin_channels=16)
+    params = flows.decoder_init(jax.random.PRNGKey(3), hp_ref)
+    _, _, g = _inputs(gin=16)
+    c_sqz = hp_ref.in_channels * hp_ref.n_sqz
+
+    stacked = bp.fold_blocks_stacked(
+        params["blocks"], hp_ref.n_layers, hp_ref.n_split, jnp.float32,
+        g, hp_ref.hidden_channels,
+    )
+    folded_all, logs_sum_all, logabsdet_all, g_all = stacked
+    for i in range(hp_ref.n_blocks):
+        blk = jax.tree_util.tree_map(lambda a: a[i], params["blocks"])
+        one = bp.fold_block_params(
+            blk, hp_ref.n_layers, hp_ref.n_split, jnp.float32
+        )
+        for key in one:
+            np.testing.assert_allclose(
+                np.asarray(folded_all[key][i]), np.asarray(one[key]),
+                rtol=0, atol=0, err_msg=key,
+            )
+        np.testing.assert_allclose(
+            float(logs_sum_all[i]),
+            float(jnp.sum(blk["actnorm"]["logs"])), rtol=1e-6,
+        )
+        _, want_ld = jnp.linalg.slogdet(blk["invconv"]["weight"])
+        np.testing.assert_allclose(
+            float(logabsdet_all[i]), float(want_ld), rtol=1e-5,
+        )
+        want_g = conv1d(g, blk["coupling"]["wn"]["cond"]).reshape(
+            g.shape[0], hp_ref.n_layers, 2 * hp_ref.hidden_channels
+        )
+        np.testing.assert_allclose(
+            np.asarray(g_all[i]), np.asarray(want_g), rtol=1e-6, atol=1e-6,
+        )

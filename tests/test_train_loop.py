@@ -167,7 +167,7 @@ def test_remat_encoder_numerically_identical():
     import dataclasses
 
     results = []
-    for remat_enc in (False, True):
+    for remat_enc in (False, True, "dots"):
         config = dataclasses.replace(tiny_config(), remat_encoder=remat_enc)
         batch = random_batch(config, np.random.default_rng(9))
         state = training.create_state(config, jax.random.PRNGKey(0))
@@ -175,6 +175,7 @@ def test_remat_encoder_numerically_identical():
         _, metrics = step_fn(state, batch, jax.random.PRNGKey(1))
         results.append((float(metrics["loss"]), float(metrics["grad_norm"])))
     np.testing.assert_allclose(results[0], results[1], rtol=1e-6)
+    np.testing.assert_allclose(results[0], results[2], rtol=1e-6)
 
 
 def test_train_precompiles_shapes(tmp_path, caplog):
