@@ -184,6 +184,16 @@ class TrainingConfig:
     # resolved wn_impl (fused on TPU); True/False force.  Reverse
     # (inference) and DDI always use the op-by-op path.
     flow_block_fuse: typing.Union[bool, str] = "auto"
+    # Fuse each entire text-encoder layer (windowed rel-pos MHA + dropout +
+    # residual layernorm + conv-FFN + residual layernorm) into one Pallas
+    # VMEM kernel (ops/encoder_pallas.py).  The layer is ~30 tiny XLA ops
+    # whose dispatch/relayout overhead dominates the encoder's step share;
+    # the kernel replaces the reference's [t, 2t-1] rel-pos pad/reshape
+    # dance with a banded-diagonal add.  "auto" follows the resolved
+    # wn_impl (fused on TPU) when the model uses the kernel-supported
+    # encoder configuration (window_size set, no block_length — the only
+    # configuration the reference ships); True/False force.
+    encoder_fuse: typing.Union[bool, str] = "auto"
     # Host-RAM budget for lazily-loaded .npy mels, in total cached frames
     # (bytes ~= frames * mel_channels * 4).  The reference caches every mel
     # forever (dataset.py:56-59) — several GB of monotonic growth at

@@ -83,6 +83,7 @@ class GlowTTSHyper(typing.NamedTuple):
     wn_impl: str = "xla"
     wn_residuals: str = "recompute"
     block_fuse: bool = False
+    encoder_fuse: bool = False
 
     @property
     def h_enc(self) -> int:
@@ -155,6 +156,9 @@ def hyper_from_config(config: TrainingConfig) -> GlowTTSHyper:
         block_fuse=_resolve_block_fuse(
             getattr(config, "flow_block_fuse", "auto"), wn_impl
         ),
+        encoder_fuse=_resolve_encoder_fuse(
+            getattr(config, "encoder_fuse", "auto"), wn_impl, m
+        ),
     )
 
 
@@ -197,6 +201,22 @@ def _resolve_block_fuse(value, wn_impl: str) -> bool:
     if value != "auto":
         return bool(value)
     return wn_impl == "pallas"
+
+
+def _resolve_encoder_fuse(value, wn_impl: str, m) -> bool:
+    """"auto" -> fuse each encoder layer into one Pallas kernel
+    (ops/encoder_pallas.py) on TPU backends, for the configurations the
+    kernel supports: rel-pos window set, no block_length (the reference
+    encoder's only shipped configuration — attentions.py:178-188).
+    Explicit True/False wins (encoder_apply still falls back op-by-op for
+    unsupported configs)."""
+    if value != "auto":
+        return bool(value)
+    return (
+        wn_impl == "pallas"
+        and m.window_size is not None
+        and m.block_length is None
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -334,6 +354,7 @@ def encoder_forward(
         # encoder remat: -2% at b=32 (the encoder stores little), +0.8% at
         # b=128 under memory pressure — off by default (config.remat_encoder)
         remat=hp.remat_encoder,
+        fused=hp.encoder_fuse,
     )
 
     # duration predictor sees detached encoder output (+ non-detached speaker

@@ -306,6 +306,7 @@ def encoder_apply(
     deterministic: bool = True,
     unroll: bool = False,
     remat: typing.Union[bool, str] = False,
+    fused: bool = False,
 ) -> jnp.ndarray:
     """x: [b, t, c]; x_mask: [b, t, 1].
 
@@ -315,9 +316,66 @@ def encoder_apply(
     them (same HBM-traffic trade as the flow blocks, flows.decoder_fwd).
     True/"full" recomputes everything; "dots" keeps conv/matmul outputs
     and recomputes only the elementwise glue (softmax, layernorm, rel-pos
-    reshapes) — cheaper recompute, smaller residual stack than none."""
-    attn_mask = (x_mask[:, :, 0][:, None, :] * x_mask[:, :, 0][:, :, None])
+    reshapes) — cheaper recompute, smaller residual stack than none.
+    ``fused``: run each whole layer as one Pallas VMEM kernel
+    (ops/encoder_pallas.py) instead of ~30 XLA ops.  Only the reference
+    encoder's configuration is fusable (self-attn, rel-pos window set,
+    no block_length); anything else silently uses the op-by-op path, as
+    does dropout off-TPU (in-kernel dropout needs the TPU hardware PRNG
+    — same policy as flows.decoder_fwd's block_fuse)."""
     use_rng = rng if rng is not None else jax.random.PRNGKey(0)
+
+    fused = fused and (
+        window_size is not None
+        and block_length is None
+        and (
+            deterministic
+            or p_dropout == 0.0
+            or rng is None
+            or jax.default_backend() == "tpu"
+        )
+    )
+    if fused:
+        from .encoder_pallas import (
+            encoder_layer_fused_folded,
+            fold_encoder_layers,
+        )
+
+        # batched fold for all layers outside the scan (reshapes/casts
+        # only) — per-iteration folds would become stacked scan residuals
+        folded_all = fold_encoder_layers(params, x.dtype)
+        kernel_size = params["ffn"]["conv_1"]["w"].shape[1]
+
+        def fused_layer(carry, weights):
+            x, i = carry
+            x = encoder_layer_fused_folded(
+                weights,
+                x,
+                x_mask,
+                n_heads=n_heads,
+                window_size=window_size,
+                kernel_size=kernel_size,
+                p_dropout=p_dropout,
+                rng=jax.random.fold_in(use_rng, i),
+                deterministic=deterministic,
+            )
+            return (x, i + 1), None
+
+        # no jax.checkpoint here: the kernel's custom VJP already stores
+        # only (x, weights) and recomputes in-kernel — remat on top would
+        # just re-run the forward kernel once more for nothing
+        carry = (x, jnp.int32(0))
+        if unroll:
+            n_layers = folded_all[0].shape[0]
+            for i in range(n_layers):
+                w_i = jax.tree_util.tree_map(lambda a, i=i: a[i], folded_all)
+                carry, _ = fused_layer(carry, w_i)
+            x = carry[0]
+        else:
+            (x, _), _ = jax.lax.scan(fused_layer, carry, folded_all)
+        return x * x_mask
+
+    attn_mask = (x_mask[:, :, 0][:, None, :] * x_mask[:, :, 0][:, :, None])
 
     def layer(carry, inp):
         x, i = carry
