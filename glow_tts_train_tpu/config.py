@@ -181,8 +181,10 @@ class TrainingConfig:
     # matmul + start/end 1x1 convs + WN stack + affine coupling + logdet
     # reduction) into one Pallas kernel (ops/block_pallas.py) instead of
     # running the non-WN pieces as separate XLA ops.  "auto" follows the
-    # resolved wn_impl (fused on TPU); True/False force.  Reverse
-    # (inference) and DDI always use the op-by-op path.
+    # resolved wn_impl (fused on TPU); True/False force.  Applies to the
+    # training forward AND the inference reverse (each direction is its
+    # own fused kernel); DDI always uses the op-by-op path, and export
+    # forces it for multi-platform artifacts.
     flow_block_fuse: typing.Union[bool, str] = "auto"
     # Fuse each entire text-encoder layer (windowed rel-pos MHA + dropout +
     # residual layernorm + conv-FFN + residual layernorm) into one Pallas

@@ -408,6 +408,112 @@ def _make_block_fn(key: "_BlockKey"):
     return f
 
 
+def _block_inv_kernel(seed_ref, x_ref, mask_ref, ai_ref, bai_ref, ws_ref,
+                      bs_ref, we_ref, be_ref, win_ref, bin_ref, wrs_ref,
+                      brs_ref, g_ref, y_ref, *, st):
+    """Inverse of one flow block (inference, z → mel domain), per sample:
+
+        x0, x1   = x[:, :c/2], x[:, c/2:]
+        h0       = (x0 @ W_start + b_start) * mask
+        skip     = WN_stack(h0)                 (identical forward stack —
+                                                 the coupling net runs
+                                                 FORWARD in both directions,
+                                                 attentions.py:119-142)
+        out      = (skip * mask) @ W_end + b_end
+        m, logs  = out[:, :c/2], out[:, c/2:]   (+ optional sigmoid_scale)
+        z1       = (x1 − m) · e^{−logs} · mask
+        y        = (concat(x0, z1) @ A⁻ + bA⁻) * mask
+
+    with (A⁻, bA⁻) the folded inverse of invconv ∘ actnorm (see
+    fold_block_params_inverse).  Deterministic — inference never drops."""
+    del seed_ref  # uniform call shape with the forward kernel; no dropout
+    x = x_ref[0]
+    mask = mask_ref[0]
+    t, c = x.shape
+    c2 = c // 2
+    h = ws_ref.shape[1]
+    dtype = x.dtype
+    maskf = mask.astype(jnp.float32)
+
+    x0, x1 = x[:, :c2], x[:, c2:]
+    h0 = (
+        (
+            jnp.dot(x0, ws_ref[...], preferred_element_type=jnp.float32)
+            + bs_ref[0].astype(jnp.float32)[None, :]
+        )
+        * maskf
+    ).astype(dtype)
+
+    wn_refs = (win_ref, bin_ref, wrs_ref, brs_ref, g_ref, mask)
+    xcur = h0
+    skip = jnp.zeros((t, h), jnp.float32)
+    for l in range(st["n_layers"]):
+        xcur, skip_inc, _ = _layer_fwd(xcur, l, wn_refs, st)
+        skip = skip + skip_inc.astype(jnp.float32)
+    skipm = (skip.astype(dtype) * mask).astype(dtype)
+
+    out = (
+        jnp.dot(skipm, we_ref[...], preferred_element_type=jnp.float32)
+        + be_ref[0].astype(jnp.float32)[None, :]
+    ).astype(dtype)
+    m = out[:, :c2].astype(jnp.float32)
+    logs = _apply_logs_transform(
+        out[:, c2:].astype(jnp.float32), st["sigmoid_scale"]
+    )
+    z1 = (x1.astype(jnp.float32) - m) * jnp.exp(-logs) * maskf
+    z = jnp.concatenate([x0, z1.astype(dtype)], axis=1)
+
+    y = (
+        jnp.dot(z, ai_ref[...], preferred_element_type=jnp.float32)
+        + bai_ref[0].astype(jnp.float32)[None, :]
+    ) * maskf
+    y_ref[0] = y.astype(y_ref.dtype)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_block_inv_fn(key: "_BlockKey"):
+    st = _st_from_key(key)
+    interpret = key.interpret
+
+    def f(A_inv, bA_inv, W_s, b_s, W_e, b_e, W_in, b_in, W_rs, b_rs, x,
+          x_mask, g_all, seed_f):
+        b, t, c = x.shape
+        L = st["n_layers"]
+        h = W_s.shape[1]
+        Kh = W_in.shape[1]
+        const, per_b = _specs()
+        in_specs = [
+            per_b((1, t, c)),        # x
+            per_b((1, t, 1)),        # mask
+            const((c, c)),           # A_inv
+            const((1, c)),           # bA_inv
+            const((c // 2, h)),      # W_start
+            const((1, h)),           # b_start
+            const((h, c)),           # W_end
+            const((1, c)),           # b_end
+            const((L, Kh, 2 * h)),   # W_in
+            const((L, 2 * h)),       # b_in
+            const((L, h, 2 * h)),    # W_rs
+            const((L, 2 * h)),       # b_rs
+            per_b((1, L, 2 * h)),    # g
+        ]
+        kernel = functools.partial(_block_inv_kernel, st=st)
+        return pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(b,),
+                in_specs=in_specs,
+                out_specs=per_b((1, t, c)),
+            ),
+            out_shape=jax.ShapeDtypeStruct((b, t, c), x.dtype),
+            interpret=interpret,
+        )(seed_f, x, x_mask, A_inv, bA_inv, W_s, b_s, W_e, b_e, W_in, b_in,
+          W_rs, b_rs, g_all)
+
+    return f
+
+
 def fold_block_params(block_params: Params, n_layers: int, n_split: int,
                       dtype) -> dict:
     """Block params → direct kernel weights, all in differentiable JAX
@@ -476,6 +582,120 @@ def fold_blocks_stacked(
         return folded, logs_sum, logabsdet, g_all
 
     return jax.vmap(one)(blocks)
+
+
+def fold_block_params_inverse(block_params: Params, n_layers: int,
+                              n_split: int, dtype) -> dict:
+    """Block params → direct kernel weights for the INVERSE direction.
+
+    The block inverse applies coupling⁻¹, then invconv⁻¹ (u = z @ Minv^T,
+    Minv the dense expansion of the stored/computed s×s inverse —
+    layers.py:255-259), then actnorm⁻¹ (y = (u − bias)·e^{−logs},
+    layers.py:193-195).  The last two compose into one affine:
+
+        y = z @ A⁻ + bA⁻,   A⁻ = Minv^T · diag(e^{−logs}),
+                            bA⁻ = −bias · e^{−logs}
+
+    Uses ``weight_inv`` when present (store_inverse, models.py:213-215);
+    otherwise inverts at trace time — same policy as invconv_apply."""
+    from .flows import _invconv_dense
+    from .conv import weight_norm_effective
+
+    an = block_params["actnorm"]
+    inv = block_params["invconv"]
+    w_inv = inv.get("weight_inv")
+    if w_inv is None:
+        w_inv = jnp.linalg.inv(inv["weight"].astype(jnp.float32))
+    cp = block_params["coupling"]
+
+    ws_full = weight_norm_effective(cp["start"])  # [1, c/2, h]
+    c = 2 * ws_full.shape[1]
+    minv = _invconv_dense(w_inv.astype(jnp.float32), c, n_split)  # [c, c]
+    e = jnp.exp(-an["logs"].astype(jnp.float32))  # [c]
+    A_inv = (minv.T * e[None, :]).astype(dtype)
+    bA_inv = (-(an["bias"].astype(jnp.float32)) * e).reshape(1, c)
+
+    W_in, b_in, W_rs, b_rs = fold_wn_weights(cp["wn"], n_layers, dtype)
+    return {
+        "A": A_inv,
+        "bA": bA_inv,
+        "W_s": ws_full[0].astype(dtype),
+        "b_s": cp["start"]["b"].astype(jnp.float32).reshape(1, -1),
+        "W_e": cp["end"]["w"][0].astype(dtype),
+        "b_e": cp["end"]["b"].astype(jnp.float32).reshape(1, -1),
+        "W_in": W_in,
+        "b_in": b_in,
+        "W_rs": W_rs,
+        "b_rs": b_rs,
+    }
+
+
+def fold_blocks_stacked_inverse(
+    blocks: Params,
+    n_layers: int,
+    n_split: int,
+    dtype,
+    g: typing.Optional[jnp.ndarray],
+    hidden_channels: int,
+) -> tuple:
+    """Batched inverse-direction weight fold for ALL stacked blocks, run
+    outside the reverse scan (same DUS-avoidance rationale as
+    fold_blocks_stacked).  Returns ``(folded, g_all)``."""
+    from .conv import conv1d
+
+    def one(bp):
+        folded = fold_block_params_inverse(bp, n_layers, n_split, dtype)
+        if g is not None:
+            g_all = conv1d(g, bp["coupling"]["wn"]["cond"]).astype(dtype)
+            g_all = g_all.reshape(g.shape[0], n_layers, 2 * hidden_channels)
+        else:
+            g_all = jnp.zeros((1, n_layers, 2 * hidden_channels), dtype)
+        return folded, g_all
+
+    return jax.vmap(one)(blocks)
+
+
+def flow_block_inv_fused_folded(
+    folded: dict,
+    g_all: jnp.ndarray,
+    x: jnp.ndarray,
+    x_mask: jnp.ndarray,
+    *,
+    kernel_size: int,
+    dilation_rate: int,
+    n_layers: int,
+    sigmoid_scale: bool = False,
+    interpret: typing.Optional[bool] = None,
+) -> jnp.ndarray:
+    """Inverse of one flow block from pre-folded kernel weights (one Pallas
+    kernel per block per sample; see _block_inv_kernel).  Deterministic —
+    the reference's inference path never applies dropout
+    (models.py:203-211 with reverse=True)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    b, t, c = x.shape
+    if g_all.shape[0] != b:  # the no-conditioning placeholder [1, L, 2h]
+        g_all = jnp.broadcast_to(g_all, (b,) + g_all.shape[1:])
+    seed_f = jnp.zeros((1,), jnp.int32)
+
+    st = (
+        n_layers,
+        tuple(
+            _offsets(kernel_size, dilation_rate ** l)
+            for l in range(n_layers)
+        ),
+        None,
+        1.0,
+        bool(sigmoid_scale),
+    )
+    fn = _make_block_inv_fn(_BlockKey(st, interpret))
+    mask = jnp.broadcast_to(x_mask.astype(x.dtype), (b, t, 1))
+    return fn(
+        folded["A"], folded["bA"], folded["W_s"], folded["b_s"],
+        folded["W_e"], folded["b_e"], folded["W_in"], folded["b_in"],
+        folded["W_rs"], folded["b_rs"], x, mask, g_all, seed_f,
+    )
 
 
 def flow_block_fused_folded(

@@ -434,9 +434,11 @@ class DecoderHyper(typing.NamedTuple):
     # "store" (forward saves layer inputs + gates to HBM; backward skips
     # the recompute pass) — see wn_pallas.wn_stack_fused
     wn_residuals: str = "recompute"
-    # Fuse each ENTIRE training-forward block (folded actnorm∘invconv
-    # matmul + start/end 1x1 + WN stack + affine coupling + logdet) into
-    # one Pallas kernel (ops/block_pallas.py).  Reverse/DDI stay op-by-op.
+    # Fuse each ENTIRE block into one Pallas kernel (ops/block_pallas.py):
+    # training forward (folded actnorm∘invconv matmul + start/end 1x1 + WN
+    # stack + affine coupling + logdet, custom-VJP backward) AND inference
+    # reverse (coupling⁻¹ + folded invconv⁻¹∘actnorm⁻¹).  DDI stays
+    # op-by-op (runs once).
     block_fuse: bool = False
 
 
@@ -601,9 +603,49 @@ def decoder_inv(
     hp: DecoderHyper,
     g: typing.Optional[jnp.ndarray] = None,
 ):
-    """Inverse (z -> mel): blocks in reverse order, each bijector inverted."""
+    """Inverse (z -> mel): blocks in reverse order, each bijector inverted.
+
+    With ``hp.block_fuse`` each inverse block runs as ONE Pallas kernel
+    (ops/block_pallas.py::_block_inv_kernel) — at serving batch sizes the
+    op-by-op inverse is dispatch-bound (12 blocks x ~8 ops on [b~1, t, c]
+    tensors), so fusing the whole block is the latency lever.  Inference is
+    deterministic (no dropout), so no PRNG gating is needed."""
     if hp.n_sqz > 1:
         x, x_mask = squeeze(x, x_mask, hp.n_sqz)
+
+    if hp.block_fuse:
+        from .block_pallas import (
+            flow_block_inv_fused_folded,
+            fold_blocks_stacked_inverse,
+        )
+
+        folded_all, g_all_blocks = fold_blocks_stacked_inverse(
+            params["blocks"], hp.n_layers, hp.n_split, x.dtype, g,
+            hp.hidden_channels,
+        )
+
+        def fused_block(x, xs):
+            folded, g_blk = xs
+            x = flow_block_inv_fused_folded(
+                folded, g_blk, x, x_mask,
+                kernel_size=hp.kernel_size,
+                dilation_rate=hp.dilation_rate,
+                n_layers=hp.n_layers,
+                sigmoid_scale=hp.sigmoid_scale,
+            )
+            return x, None
+
+        xs = (folded_all, g_all_blocks)
+        if hp.unroll:
+            for i in reversed(range(hp.n_blocks)):
+                xi = jax.tree_util.tree_map(lambda a, i=i: a[i], xs)
+                x, _ = fused_block(x, xi)
+        else:
+            rev = jax.tree_util.tree_map(lambda a: a[::-1], xs)
+            x, _ = jax.lax.scan(fused_block, x, rev)
+        if hp.n_sqz > 1:
+            x, x_mask = unsqueeze(x, x_mask, hp.n_sqz)
+        return x, None
 
     def block(x, block_params):
         x, _ = coupling_apply(

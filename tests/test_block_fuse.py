@@ -112,7 +112,7 @@ def test_fused_block_train_step_equivalent():
 
 
 def test_fused_block_roundtrip():
-    """fwd (fused) ∘ inv (op-by-op — inference always unfused) ≡ identity.
+    """fwd (fused kernel) ∘ inv (fused inverse kernel) ≡ identity.
 
     Lengths must be multiples of n_sqz: squeeze drops an odd tail frame by
     construction (reference commons.py squeeze semantics), which is not a
@@ -146,6 +146,56 @@ def test_fused_block_dropout_fallback_off_tpu():
     )
     np.testing.assert_array_equal(np.asarray(z2), np.asarray(z1))
     np.testing.assert_array_equal(np.asarray(ld2), np.asarray(ld1))
+
+
+@pytest.mark.parametrize(
+    "over",
+    [
+        {},
+        {"sigmoid_scale": True},
+        {"gin_channels": 16},
+        {"kernel_size": 3, "dilation_rate": 2, "n_layers": 3},
+        {"n_split": 8, "n_sqz": 1},
+    ],
+    ids=["base", "sigmoid", "gin", "k3d2L3", "split8sqz1"],
+)
+@pytest.mark.parametrize("stored", [False, True], ids=["live_inv", "stored_inv"])
+def test_fused_block_inverse_matches_op_by_op(over, stored):
+    """decoder_inv with the fused inverse kernel ≡ the op-by-op inverse,
+    both with a trace-time matrix inverse and with store_inverse'd weights
+    (models.py:213-215)."""
+    hp_ref, hp_fused = _decoder_pair(**over)
+    params = flows.decoder_init(jax.random.PRNGKey(4), hp_ref)
+    if stored:
+        params = flows.decoder_store_inverse(params)
+    z, mask, g = _inputs(gin=over.get("gin_channels", 0), seed=5)
+
+    y1, _ = flows.decoder_inv(params, z, mask, hp_ref, g=g)
+    y2, _ = flows.decoder_inv(params, z, mask, hp_fused, g=g)
+    np.testing.assert_allclose(np.asarray(y2), np.asarray(y1), atol=3e-6)
+
+
+def test_fused_inverse_gen_path():
+    """forward_gen (inference) with block_fuse on ≡ off, end to end."""
+    import dataclasses as dc
+
+    from glow_tts_train_tpu import models
+    from glow_tts_train_tpu.models import hyper_from_config
+
+    config = tiny_config(p_dropout=0.0, p_dropout_dec=0.0)
+    outs = {}
+    for fuse in (False, True):
+        cfg = dc.replace(config, flow_block_fuse=fuse)
+        hp = hyper_from_config(cfg)
+        params = models.store_inverse(models.init_model(jax.random.PRNGKey(0), hp))
+        x = jnp.asarray([[3, 7, 12, 5, 9, 14, 2, 4]], jnp.int32)
+        out = models.forward_gen(
+            params, hp, x, jnp.asarray([8], jnp.int32), y_max_length=64,
+            noise_rng=jax.random.PRNGKey(1), noise_scale=0.667,
+        )
+        outs[fuse] = (np.asarray(out[0][0]), np.asarray(out[3]))
+    np.testing.assert_array_equal(outs[True][1], outs[False][1])
+    np.testing.assert_allclose(outs[True][0], outs[False][0], atol=2e-5)
 
 
 def test_block_fuse_auto_resolution():
