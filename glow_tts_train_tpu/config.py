@@ -186,9 +186,11 @@ class TrainingConfig:
     # own fused kernel); DDI always uses the op-by-op path, and export
     # forces it for multi-platform artifacts.
     flow_block_fuse: typing.Union[bool, str] = "auto"
-    # Fuse each entire text-encoder layer (windowed rel-pos MHA + dropout +
-    # residual layernorm + conv-FFN + residual layernorm) into one Pallas
-    # VMEM kernel (ops/encoder_pallas.py).  The layer is ~30 tiny XLA ops
+    # Fuse the text side: each entire encoder layer (windowed rel-pos MHA +
+    # dropout + residual layernorm + conv-FFN + residual layernorm) as one
+    # Pallas VMEM kernel (ops/encoder_pallas.py), plus the ConvReluNorm
+    # prenet and the duration-predictor conv stack as one kernel each
+    # (ops/text_pallas.py).  The layer is ~30 tiny XLA ops
     # whose dispatch/relayout overhead dominates the encoder's step share;
     # the kernel replaces the reference's [t, 2t-1] rel-pos pad/reshape
     # dance with a banded-diagonal add.  "auto" follows the resolved

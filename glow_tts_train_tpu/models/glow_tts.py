@@ -244,10 +244,24 @@ def duration_predictor_apply(
     p_dropout: float,
     rng: typing.Optional[jax.Array] = None,
     deterministic: bool = True,
+    fused: bool = False,
 ) -> jnp.ndarray:
     """x: [b, t, c] -> log-durations [b, t, 1].  Order per models.py:41-51:
     conv → relu → norm → dropout (note: norm *after* relu here, unlike the
-    prenet)."""
+    prenet).  ``fused``: the conv stack as one Pallas kernel
+    (ops/text_pallas.py), dropout-active off-TPU falls back op-by-op."""
+    if fused and (
+        deterministic
+        or p_dropout == 0.0
+        or rng is None
+        or jax.default_backend() == "tpu"
+    ):
+        from ..ops.text_pallas import duration_predictor_fused
+
+        return duration_predictor_fused(
+            params, x, x_mask, p_dropout=p_dropout, rng=rng,
+            deterministic=deterministic,
+        )
     r1 = r2 = None
     if rng is not None:
         r1, r2 = jax.random.split(rng)
@@ -338,7 +352,7 @@ def encoder_forward(
     if hp.prenet:
         xh = prenet_apply(
             params["prenet"], xh, x_mask, p_dropout=0.5, rng=r_pre,
-            deterministic=deterministic,
+            deterministic=deterministic, fused=hp.encoder_fuse,
         )
     xh = encoder_apply(
         params["encoder"],
@@ -372,7 +386,7 @@ def encoder_forward(
 
     logw = duration_predictor_apply(
         params["proj_w"], x_dp, x_mask, hp.p_dropout, rng=r_dp,
-        deterministic=deterministic,
+        deterministic=deterministic, fused=hp.encoder_fuse,
     )
     return x_m, x_logs, logw, x_mask
 

@@ -467,7 +467,24 @@ def prenet_apply(
     p_dropout: float = 0.5,
     rng: typing.Optional[jax.Array] = None,
     deterministic: bool = True,
+    fused: bool = False,
 ) -> jnp.ndarray:
+    """``fused``: run the whole stack as one Pallas kernel
+    (ops/text_pallas.py); in-kernel dropout needs the TPU hardware PRNG,
+    so dropout-active off-TPU falls back op-by-op (same policy as
+    encoder_apply)."""
+    if fused and (
+        deterministic
+        or p_dropout == 0.0
+        or rng is None
+        or jax.default_backend() == "tpu"
+    ):
+        from .text_pallas import prenet_fused
+
+        return prenet_fused(
+            params, x, x_mask, p_dropout=p_dropout, rng=rng,
+            deterministic=deterministic,
+        )
     x_org = x
     use_rng = rng if rng is not None else jax.random.PRNGKey(0)
 
