@@ -164,6 +164,49 @@ def test_fused_encoder_gen_path():
     np.testing.assert_array_equal(outs[True][1], outs[False][1])
 
 
+@pytest.mark.skipif(
+    jax.default_backend() != "tpu",
+    reason="in-kernel dropout draws from the TPU hardware PRNG, which has "
+    "no interpret-mode lowering (pltpu.prng_seed); runs on real TPU",
+)
+def test_fused_encoder_inkernel_dropout():
+    """The in-kernel hardware-PRNG dropout path (what a real TPU training
+    step runs): statistics-level checks + deterministic replay + finite
+    grads, called directly so the dropout fallback gating is bypassed."""
+    from glow_tts_train_tpu.ops.encoder_pallas import encoder_layer_fused
+
+    params, kw = _encoder(n_layers=1)
+    layer0 = jax.tree_util.tree_map(lambda a: a[0], params)
+    x, mask = _inputs()
+
+    def run(key, p=0.4):
+        return encoder_layer_fused(
+            layer0, x, mask, **kw, kernel_size=3, p_dropout=p,
+            rng=key, deterministic=False,
+        )
+
+    y = run(jax.random.PRNGKey(5))
+    assert np.isfinite(np.asarray(y)).all()
+    # same seed -> identical (deterministic replay, as backward needs)
+    np.testing.assert_array_equal(
+        np.asarray(run(jax.random.PRNGKey(5))), np.asarray(y)
+    )
+    # different seed -> different masks
+    assert float(jnp.max(jnp.abs(run(jax.random.PRNGKey(6)) - y))) > 0
+
+    def loss(p):
+        out = encoder_layer_fused(
+            p, x, mask, **kw, kernel_size=3, p_dropout=0.4,
+            rng=jax.random.PRNGKey(7), deterministic=False,
+        )
+        return jnp.sum(out**2)
+
+    grads = jax.grad(loss)(layer0)
+    flat, _ = fu.ravel_pytree(grads)
+    assert np.isfinite(np.asarray(flat)).all()
+    assert float(jnp.max(jnp.abs(flat))) > 0
+
+
 def test_encoder_fuse_auto_resolution():
     """config encoder_fuse="auto" follows the resolved wn_impl AND the
     kernel's supported encoder configuration."""

@@ -117,6 +117,51 @@ def test_fused_text_dropout_fallback_off_tpu():
     np.testing.assert_array_equal(np.asarray(y2), np.asarray(y1))
 
 
+@pytest.mark.skipif(
+    jax.default_backend() != "tpu",
+    reason="in-kernel dropout draws from the TPU hardware PRNG, which has "
+    "no interpret-mode lowering (pltpu.prng_seed); runs on real TPU",
+)
+def test_fused_text_inkernel_dropout():
+    """The in-kernel hardware-PRNG dropout path for both text kernels
+    (what a real TPU training step runs): statistics + deterministic
+    replay + finite grads, bypassing the dropout fallback gating."""
+    from glow_tts_train_tpu.ops.text_pallas import (
+        duration_predictor_fused,
+        prenet_fused,
+    )
+
+    h = 32
+    x, mask = _inputs(c=h)
+    pn = prenet_init(jax.random.PRNGKey(0), h, h, h)
+    dp = duration_predictor_init(jax.random.PRNGKey(1), h, 40, 3)
+
+    for name, fn, params in (
+        ("prenet", lambda p, key: prenet_fused(
+            p, x, mask, p_dropout=0.5, rng=key, deterministic=False,
+        ), pn),
+        ("dp", lambda p, key: duration_predictor_fused(
+            p, x, mask, p_dropout=0.4, rng=key, deterministic=False,
+        ), dp),
+    ):
+        y = fn(params, jax.random.PRNGKey(5))
+        assert np.isfinite(np.asarray(y)).all(), name
+        np.testing.assert_array_equal(
+            np.asarray(fn(params, jax.random.PRNGKey(5))), np.asarray(y),
+            err_msg=name,
+        )
+        assert float(
+            jnp.max(jnp.abs(fn(params, jax.random.PRNGKey(6)) - y))
+        ) > 0, name
+
+        grads = jax.grad(
+            lambda p: jnp.sum(fn(p, jax.random.PRNGKey(7)) ** 2)
+        )(params)
+        flat, _ = fu.ravel_pytree(grads)
+        assert np.isfinite(np.asarray(flat)).all(), name
+        assert float(jnp.max(jnp.abs(flat))) > 0, name
+
+
 def test_fused_text_train_step_equivalent():
     """Full jitted train step with encoder_fuse (which also fuses prenet +
     duration predictor): same loss/grad-norm as the unfused path."""
