@@ -115,8 +115,10 @@ def bench_train(config, b=32, t_x=128, t_y=640, mas_impl="auto"):
     return step_time, b * t_y / step_time
 
 
-def bench_infer_rtf(config, t_x=128, y_max=1024):
-    """Batch-1 inference real-time factor at 22050 Hz / hop 256."""
+def bench_infer_rtf(config, t_x=128, y_max=1024, b=1):
+    """Inference real-time factor at 22050 Hz / hop 256.  ``b=1`` is the
+    serving-latency number; larger b measures batched synthesis throughput
+    (total audio-seconds generated per wall-second = b·RT/RTF)."""
     import jax
     import jax.numpy as jnp
 
@@ -130,8 +132,8 @@ def bench_infer_rtf(config, t_x=128, y_max=1024):
     hp = hyper_from_config(config)
     params = store_inverse(init_model(jax.random.PRNGKey(0), hp))
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.integers(1, config.model.num_symbols, (1, t_x)), jnp.int32)
-    x_lengths = jnp.asarray([t_x], jnp.int32)
+    x = jnp.asarray(rng.integers(1, config.model.num_symbols, (b, t_x)), jnp.int32)
+    x_lengths = jnp.asarray([t_x] * b, jnp.int32)
     key = jax.random.PRNGKey(2)
     frames_out = {}
 
@@ -144,7 +146,7 @@ def bench_infer_rtf(config, t_x=128, y_max=1024):
                     noise_rng=jax.random.fold_in(key, i), noise_scale=0.333,
                 )
                 y, y_lengths = out[0][0], out[3]
-                return carry + y[0, 0, 0] * 1e-9, y_lengths[0]
+                return carry + y[0, 0, 0] * 1e-9, y_lengths
 
             acc, lens = jax.lax.scan(body, jnp.zeros(()), jnp.arange(n))
             return acc, lens
@@ -152,13 +154,13 @@ def bench_infer_rtf(config, t_x=128, y_max=1024):
         def run():
             acc, lens = gen_chain(params, x, x_lengths, key)
             float(acc)
-            frames_out["frames"] = float(np.asarray(lens)[0])
+            frames_out["frames"] = float(np.asarray(lens)[0].sum())
 
         return run
 
-    _log("bench_infer: compiling + timing...")
+    _log(f"bench_infer (b={b}): compiling + timing...")
     elapsed = time_chain(build, 10, 30)
-    frames = frames_out["frames"]
+    frames = frames_out["frames"]  # summed over the batch
     audio_seconds = frames * config.audio.hop_length / config.audio.sample_rate
     return elapsed / max(audio_seconds, 1e-9), elapsed, frames
 
@@ -324,6 +326,7 @@ def main():
     step_time_b128, frames_per_sec_b128 = bench_train(config, b=128)
     step_time_b192, frames_per_sec_b192 = bench_train(config, b=192)
     rtf, infer_time, infer_frames = bench_infer_rtf(config)
+    rtf_b8, infer_time_b8, infer_frames_b8 = bench_infer_rtf(config, b=8)
     enc_ms, dec_ms, fwd_ms = bench_breakdown(config)
     mas_ms = bench_mas(impl="scan") * 1e3
     try:
@@ -406,6 +409,9 @@ def main():
             "infer_rtf_batch1": round(rtf, 5),
             "infer_time_s": round(infer_time, 4),
             "infer_frames": infer_frames,
+            # batched synthesis throughput: audio-seconds per wall-second
+            "infer_rtf_batch8": round(rtf_b8, 6),
+            "infer_audio_sec_per_sec_b8": round(1.0 / max(rtf_b8, 1e-12), 1),
             "mas_scan_ms_b32_128x640": round(mas_ms, 3),
             "mas_pallas_ms_b32_128x640": mas_pallas_ms,
             "mas_grid_ms": mas_grid,
