@@ -16,7 +16,12 @@ if "xla_force_host_platform_device_count" not in xla_flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+# GLOW_TTS_TEST_TPU=1 keeps the real backend so the TPU-only tests (the
+# in-kernel hardware-PRNG dropout paths, which interpret mode cannot
+# lower) run on an attached chip:
+#   GLOW_TTS_TEST_TPU=1 python -m pytest tests/ -m '' -k inkernel_dropout
+if not os.environ.get("GLOW_TTS_TEST_TPU"):
+    jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: repeated test runs skip recompilation.
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
