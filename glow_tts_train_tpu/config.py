@@ -186,6 +186,11 @@ class TrainingConfig:
     # own fused kernel); DDI always uses the op-by-op path, and export
     # forces it for multi-platform artifacts.
     flow_block_fuse: typing.Union[bool, str] = "auto"
+    # Independent control of the INVERSE (inference) block kernel:
+    # "auto" follows flow_block_fuse; True/False force just the reverse
+    # direction (serving operators can pin the op-by-op inverse without
+    # touching the training path).
+    flow_block_fuse_reverse: typing.Union[bool, str] = "auto"
     # Fuse the text side: each entire encoder layer (windowed rel-pos MHA +
     # dropout + residual layernorm + conv-FFN + residual layernorm) as one
     # Pallas VMEM kernel (ops/encoder_pallas.py), plus the ConvReluNorm

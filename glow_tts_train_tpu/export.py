@@ -60,7 +60,10 @@ def build_infer_fn(params, config, max_frames: int, speaker: int = 0):
     # op-by-op XLA path — Pallas/Mosaic custom calls resolved from a TPU
     # host would not lower for the artifact's cpu variant.  Same numerics
     # (the kernels are parity-tested against this path).
-    hp = hp._replace(wn_impl="xla", block_fuse=False, encoder_fuse=False)
+    hp = hp._replace(
+        wn_impl="xla", block_fuse=False, block_fuse_reverse=False,
+        encoder_fuse=False,
+    )
     g_ids = (
         jnp.full((1,), speaker, jnp.int32)
         if config.model.n_speakers > 1

@@ -83,6 +83,7 @@ class GlowTTSHyper(typing.NamedTuple):
     wn_impl: str = "xla"
     wn_residuals: str = "recompute"
     block_fuse: bool = False
+    block_fuse_reverse: bool = False
     encoder_fuse: bool = False
 
     @property
@@ -112,6 +113,7 @@ class GlowTTSHyper(typing.NamedTuple):
             wn_impl=self.wn_impl,
             wn_residuals=self.wn_residuals,
             block_fuse=self.block_fuse,
+            block_fuse_reverse=self.block_fuse_reverse,
         )
 
 
@@ -155,6 +157,12 @@ def hyper_from_config(config: TrainingConfig) -> GlowTTSHyper:
         ),
         block_fuse=_resolve_block_fuse(
             getattr(config, "flow_block_fuse", "auto"), wn_impl
+        ),
+        block_fuse_reverse=_resolve_block_fuse_reverse(
+            getattr(config, "flow_block_fuse_reverse", "auto"),
+            _resolve_block_fuse(
+                getattr(config, "flow_block_fuse", "auto"), wn_impl
+            ),
         ),
         encoder_fuse=_resolve_encoder_fuse(
             getattr(config, "encoder_fuse", "auto"), wn_impl, m
@@ -201,6 +209,14 @@ def _resolve_block_fuse(value, wn_impl: str) -> bool:
     if value != "auto":
         return bool(value)
     return wn_impl == "pallas"
+
+
+def _resolve_block_fuse_reverse(value, block_fuse: bool) -> bool:
+    """"auto" -> follow the resolved flow_block_fuse; explicit True/False
+    pins just the inference (reverse) kernel."""
+    if value != "auto":
+        return bool(value)
+    return block_fuse
 
 
 def _resolve_encoder_fuse(value, wn_impl: str, m) -> bool:

@@ -440,6 +440,9 @@ class DecoderHyper(typing.NamedTuple):
     # reverse (coupling⁻¹ + folded invconv⁻¹∘actnorm⁻¹).  DDI stays
     # op-by-op (runs once).
     block_fuse: bool = False
+    # The reverse (inference) direction separately; config
+    # flow_block_fuse_reverse "auto" resolves it to block_fuse.
+    block_fuse_reverse: bool = False
 
 
 def decoder_init(rng: jax.Array, hp: DecoderHyper) -> Params:
@@ -613,7 +616,7 @@ def decoder_inv(
     if hp.n_sqz > 1:
         x, x_mask = squeeze(x, x_mask, hp.n_sqz)
 
-    if hp.block_fuse:
+    if hp.block_fuse_reverse:
         from .block_pallas import (
             flow_block_inv_fused_folded,
             fold_blocks_stacked_inverse,

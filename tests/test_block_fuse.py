@@ -36,7 +36,7 @@ def _decoder_pair(**over):
     base.update(over)
     return (
         flows.DecoderHyper(**base, block_fuse=False),
-        flows.DecoderHyper(**base, block_fuse=True),
+        flows.DecoderHyper(**base, block_fuse=True, block_fuse_reverse=True),
     )
 
 
