@@ -325,14 +325,16 @@ def encoder_apply(
     — same policy as flows.decoder_fwd's block_fuse)."""
     use_rng = rng if rng is not None else jax.random.PRNGKey(0)
 
+    # dropout gating: the op-by-op path substitutes PRNGKey(0) when rng is
+    # None, so a dropout-active call must NOT silently fuse to the
+    # no-dropout kernel — only a real TPU rng path fuses with dropout on
     fused = fused and (
         window_size is not None
         and block_length is None
         and (
             deterministic
             or p_dropout == 0.0
-            or rng is None
-            or jax.default_backend() == "tpu"
+            or (rng is not None and jax.default_backend() == "tpu")
         )
     )
     if fused:
@@ -473,11 +475,12 @@ def prenet_apply(
     (ops/text_pallas.py); in-kernel dropout needs the TPU hardware PRNG,
     so dropout-active off-TPU falls back op-by-op (same policy as
     encoder_apply)."""
+    # (rng=None + dropout-active would drop with PRNGKey(0) op-by-op but
+    # not in-kernel — don't fuse that signature; see encoder_apply)
     if fused and (
         deterministic
         or p_dropout == 0.0
-        or rng is None
-        or jax.default_backend() == "tpu"
+        or (rng is not None and jax.default_backend() == "tpu")
     ):
         from .text_pallas import prenet_fused
 

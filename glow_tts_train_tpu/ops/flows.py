@@ -483,11 +483,13 @@ def decoder_fwd(
 
     # block_fuse needs the TPU PRNG for in-kernel dropout; off-TPU with
     # dropout active, fall back to the op-by-op body (same policy as
-    # wn_apply_pallas)
+    # wn_apply_pallas).  rng=None + dropout-active also falls back: the
+    # op-by-op body substitutes PRNGKey(0) and drops, which the fused body
+    # would too (it folds use_rng per block) — but interpret mode cannot
+    # lower the TPU PRNG, so that signature must not fuse off-TPU.
     fused = hp.block_fuse and (
         deterministic
         or hp.p_dropout == 0.0
-        or rng is None
         or jax.default_backend() == "tpu"
     )
     if fused:
