@@ -211,6 +211,36 @@ def test_block_fuse_auto_resolution():
     assert _resolve_block_fuse(True, "xla") is True
 
 
+def test_stacked_inverse_fold_matches_per_block():
+    """fold_blocks_stacked_inverse ≡ per-block fold_block_params_inverse,
+    with and without store_inverse'd weights."""
+    from glow_tts_train_tpu.ops import block_pallas as bp
+
+    hp_ref, _ = _decoder_pair(gin_channels=16)
+    params = flows.decoder_init(jax.random.PRNGKey(6), hp_ref)
+    _, _, g = _inputs(gin=16)
+    for stored in (False, True):
+        blocks = (
+            flows.decoder_store_inverse(params)["blocks"]
+            if stored
+            else params["blocks"]
+        )
+        folded_all, g_all = bp.fold_blocks_stacked_inverse(
+            blocks, hp_ref.n_layers, hp_ref.n_split, jnp.float32,
+            g, hp_ref.hidden_channels,
+        )
+        for i in range(hp_ref.n_blocks):
+            blk = jax.tree_util.tree_map(lambda a: a[i], blocks)
+            one = bp.fold_block_params_inverse(
+                blk, hp_ref.n_layers, hp_ref.n_split, jnp.float32
+            )
+            for key in one:
+                np.testing.assert_allclose(
+                    np.asarray(folded_all[key][i]), np.asarray(one[key]),
+                    rtol=1e-6, atol=1e-7, err_msg=f"{key} stored={stored}",
+                )
+
+
 def test_stacked_fold_matches_per_block():
     """fold_blocks_stacked (the vmapped whole-stack fold decoder_fwd scans
     over) must produce exactly the per-block fold_block_params tensors plus
