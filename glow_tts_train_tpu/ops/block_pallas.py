@@ -354,8 +354,8 @@ def _st_from_key(key: "_BlockKey") -> dict:
 def _make_block_fn(key: "_BlockKey"):
     """custom_vjp flow-block function per static config (same seed-as-
     argument discipline as wn_pallas._make_fused_fn)."""
-    st = _st_from_key(key)
     interpret = key.interpret
+    st = dict(_st_from_key(key), interpret=interpret)
 
     @jax.custom_vjp
     def f(A, bA, W_s, b_s, W_e, b_e, W_in, b_in, W_rs, b_rs, x, x_mask,
@@ -472,8 +472,8 @@ def _block_inv_kernel(seed_ref, x_ref, mask_ref, ai_ref, bai_ref, ws_ref,
 
 @functools.lru_cache(maxsize=None)
 def _make_block_inv_fn(key: "_BlockKey"):
-    st = _st_from_key(key)
     interpret = key.interpret
+    st = dict(_st_from_key(key), interpret=interpret)
 
     def f(A_inv, bA_inv, W_s, b_s, W_e, b_e, W_in, b_in, W_rs, b_rs, x,
           x_mask, g_all, seed_f):

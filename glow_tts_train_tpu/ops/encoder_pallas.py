@@ -54,12 +54,14 @@ _LN_EPS = 1e-4  # reference layers.py:14 (nonstandard channel-norm eps)
 
 def _drop_keep(site, shape, st):
     """f32 0/1 keep mask for dropout site ``site``, replayable anywhere
-    (seed is per (sample, layer); sites index the draws within a layer)."""
-    pltpu.prng_seed(st["seed"] * np.int32(st["n_sites"]) + np.int32(site))
-    bits = pltpu.prng_random_bits(shape)
-    return jnp.where(
-        pltpu.bitcast(bits, jnp.uint32) >= st["drop_threshold"], 1.0, 0.0
-    )
+    (seed is per (sample, layer); sites index the draws within a layer).
+    Hardware PRNG on TPU; portable hash in interpret mode (wn_pallas
+    _keep_bits)."""
+    from .wn_pallas import _keep_bits
+
+    seed = st["seed"] * np.int32(st["n_sites"]) + np.int32(site)
+    bits = _keep_bits(seed, shape, st)
+    return jnp.where(bits >= st["drop_threshold"], 1.0, 0.0)
 
 
 def _maybe_drop(x, site, st):
@@ -485,8 +487,8 @@ def _st_from_key(key: "_EncKey") -> dict:
 def _make_layer_fn(key: "_EncKey"):
     """custom_vjp encoder-layer function per static config (same seed-as-
     argument discipline as wn_pallas/block_pallas)."""
-    st = _st_from_key(key)
     interpret = key.interpret
+    st = dict(_st_from_key(key), interpret=interpret)
 
     @jax.custom_vjp
     def fn(weights, x, mask, seed_f):

@@ -398,8 +398,8 @@ def _dp_call(weights, x, mask, seed_f, *, st, interpret,
 
 
 def _make_stack_fn(key: "_TextKey", call):
-    st = _st_from_key(key)
     interpret = key.interpret
+    st = dict(_st_from_key(key), interpret=interpret)
 
     @jax.custom_vjp
     def fn(weights, x, mask, seed_f):
@@ -454,6 +454,40 @@ def _seed_and_st(n_layers, kernel_size, p_dropout, rng, deterministic):
     return seed_f, st
 
 
+def prenet_weights(params: Params, dtype) -> tuple:
+    """Prenet params → flat kernel-weight tuple (reshapes/casts only;
+    autodiff maps cotangents straight back).  Order matches
+    ``_prenet_fwd_math``'s refs."""
+    layers = params["layers"]
+    L, K, h = layers["conv"]["w"].shape[:3]
+    return (
+        layers["conv"]["w"].reshape(L, K * h, -1).astype(dtype),
+        layers["conv"]["b"].astype(jnp.float32),
+        layers["norm"]["gamma"].astype(jnp.float32),
+        layers["norm"]["beta"].astype(jnp.float32),
+        params["proj"]["w"][0].astype(dtype),
+        params["proj"]["b"].astype(jnp.float32).reshape(1, -1),
+    )
+
+
+def dp_weights(params: Params, dtype) -> tuple:
+    """Duration-predictor params → flat kernel-weight tuple (order matches
+    ``_dp_fwd_math``'s refs; the 1-channel proj stays with the caller)."""
+    K, c = params["conv_1"]["w"].shape[:2]
+    return (
+        params["conv_1"]["w"].reshape(K * c, -1).astype(dtype),
+        params["conv_1"]["b"].astype(jnp.float32).reshape(1, -1),
+        params["norm_1"]["gamma"].astype(jnp.float32).reshape(1, -1),
+        params["norm_1"]["beta"].astype(jnp.float32).reshape(1, -1),
+        params["conv_2"]["w"].reshape(
+            K * params["conv_2"]["w"].shape[1], -1
+        ).astype(dtype),
+        params["conv_2"]["b"].astype(jnp.float32).reshape(1, -1),
+        params["norm_2"]["gamma"].astype(jnp.float32).reshape(1, -1),
+        params["norm_2"]["beta"].astype(jnp.float32).reshape(1, -1),
+    )
+
+
 def prenet_fused(
     params: Params,
     x: jnp.ndarray,
@@ -469,17 +503,9 @@ def prenet_fused(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     b, t, h = x.shape
-    layers = params["layers"]
-    L, K = layers["conv"]["w"].shape[:2]
+    L, K = params["layers"]["conv"]["w"].shape[:2]
     dtype = x.dtype
-    weights = (
-        layers["conv"]["w"].reshape(L, K * h, h).astype(dtype),
-        layers["conv"]["b"].astype(jnp.float32),
-        layers["norm"]["gamma"].astype(jnp.float32),
-        layers["norm"]["beta"].astype(jnp.float32),
-        params["proj"]["w"][0].astype(dtype),
-        params["proj"]["b"].astype(jnp.float32).reshape(1, -1),
-    )
+    weights = prenet_weights(params, dtype)
     seed_f, st = _seed_and_st(L, K, p_dropout, rng, deterministic)
     fn = _make_prenet_fn(_TextKey(st, interpret))
     mask = jnp.broadcast_to(x_mask.astype(dtype), (b, t, 1))
@@ -506,18 +532,7 @@ def duration_predictor_fused(
     b, t, c = x.shape
     K = params["conv_1"]["w"].shape[0]
     dtype = x.dtype
-    weights = (
-        params["conv_1"]["w"].reshape(K * c, -1).astype(dtype),
-        params["conv_1"]["b"].astype(jnp.float32).reshape(1, -1),
-        params["norm_1"]["gamma"].astype(jnp.float32).reshape(1, -1),
-        params["norm_1"]["beta"].astype(jnp.float32).reshape(1, -1),
-        params["conv_2"]["w"].reshape(
-            K * params["conv_2"]["w"].shape[1], -1
-        ).astype(dtype),
-        params["conv_2"]["b"].astype(jnp.float32).reshape(1, -1),
-        params["norm_2"]["gamma"].astype(jnp.float32).reshape(1, -1),
-        params["norm_2"]["beta"].astype(jnp.float32).reshape(1, -1),
-    )
+    weights = dp_weights(params, dtype)
     seed_f, st = _seed_and_st(2, K, p_dropout, rng, deterministic)
     fn = _make_dp_fn(_TextKey(st, interpret))
     mask = jnp.broadcast_to(x_mask.astype(dtype), (b, t, 1))

@@ -37,6 +37,7 @@ statistics are identical, exact values are not; equivalence tests compare
 with dropout off.
 """
 
+import contextlib
 import functools
 import typing
 
@@ -47,6 +48,22 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 Params = typing.Dict[str, typing.Any]
+
+
+_PORTABLE_OPS = [False]
+
+
+@contextlib.contextmanager
+def portable_ops():
+    """Run the kernels' *_fwd_math functions OUTSIDE Pallas (they are pure
+    jnp except for pltpu.roll): swaps _shifted onto jnp.roll.  Used by the
+    autodiff-oracle tests that jax.grad the forward math directly to
+    verify the hand-written VJPs (incl. their dropout branches)."""
+    _PORTABLE_OPS[0] = True
+    try:
+        yield
+    finally:
+        _PORTABLE_OPS[0] = False
 
 
 def _shifted(arr: jnp.ndarray, off: int, t: int) -> jnp.ndarray:
@@ -60,7 +77,10 @@ def _shifted(arr: jnp.ndarray, off: int, t: int) -> jnp.ndarray:
         return arr
     dtype = arr.dtype
     work = arr if arr.dtype.itemsize == 4 else arr.astype(jnp.float32)
-    rolled = pltpu.roll(work, shift=(-off) % t, axis=0)
+    if _PORTABLE_OPS[0]:
+        rolled = jnp.roll(work, (-off) % t, axis=0)
+    else:
+        rolled = pltpu.roll(work, shift=(-off) % t, axis=0)
     rows = jax.lax.broadcasted_iota(jnp.int32, arr.shape, 0)
     if off > 0:
         out = jnp.where(rows < t - off, rolled, jnp.zeros_like(rolled))
@@ -78,17 +98,40 @@ def _offsets(kernel_size: int, dilation: int):
     return tuple(dilation * (k - kernel_size // 2) for k in range(kernel_size))
 
 
+def _portable_bits(seed, shape):
+    """Counter-based uint32 bits for interpret mode (pltpu.prng_* has no
+    interpret-mode lowering): xorshift-multiply hash of (seed, flat index).
+    A different stream than the TPU hardware PRNG with the same keep
+    statistics and the same deterministic-replay property — which is all
+    in-kernel dropout needs.  Lets the dropout branches of every kernel
+    backward run (and be gradient-checked) off-TPU."""
+    rows = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+    cols = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+    x = rows * np.uint32(shape[1]) + cols
+    x = x ^ (seed.astype(jnp.uint32) * np.uint32(2654435761))
+    x = (x ^ (x >> 13)) * np.uint32(0x9E3779B1)
+    x = (x ^ (x >> 15)) * np.uint32(0x85EBCA6B)
+    return x ^ (x >> 16)
+
+
+def _keep_bits(seed, shape, st):
+    """uint32 bits for a dropout site: hardware PRNG on TPU, portable hash
+    in interpret mode."""
+    if st.get("interpret"):
+        return _portable_bits(seed, shape)
+    pltpu.prng_seed(seed)
+    return pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+
+
 def _regen_keep(l, shape, st):
     """Regenerate layer ``l``'s dropout keep mask (f32 0/1) bit-identically:
-    the forward seeds the TPU PRNG per (sample, layer) and draws once, so
-    any pass can replay the same mask independently."""
-    pltpu.prng_seed(st["seed"] * np.int32(st["n_layers"]) + np.int32(l))
-    bits = pltpu.prng_random_bits(shape)
+    the forward seeds the PRNG per (sample, layer) and draws once, so any
+    pass can replay the same mask independently."""
+    seed = st["seed"] * np.int32(st["n_layers"]) + np.int32(l)
+    bits = _keep_bits(seed, shape, st)
     # f32 0/1 mask, not an i1 vector — Mosaic rejects some bool-vector
     # stores/relayouts (same workaround as mas_pallas)
-    return jnp.where(
-        pltpu.bitcast(bits, jnp.uint32) >= st["drop_threshold"], 1.0, 0.0
-    )
+    return jnp.where(bits >= st["drop_threshold"], 1.0, 0.0)
 
 
 def _layer_fwd(xcur, l, refs, st):
@@ -509,8 +552,8 @@ def _make_fused_fn(key: "_StaticKey"):
     """custom_vjp function per static config.  The dropout seed is a real
     ARGUMENT (int32, float0 cotangent), not a closure capture — closing
     over a traced value inside custom_vjp breaks under remat/scan."""
-    st = key.as_dict()
     interpret = key.interpret
+    st = dict(key.as_dict(), interpret=interpret)
     store = key.residuals == "store"
 
     @jax.custom_vjp

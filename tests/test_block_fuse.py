@@ -198,6 +198,178 @@ def test_fused_inverse_gen_path():
     np.testing.assert_allclose(outs[True][0], outs[False][0], atol=2e-5)
 
 
+def test_fused_block_inkernel_dropout_grads():
+    """Autodiff-oracle check of the block kernel's custom-VJP gradients
+    with in-kernel dropout ACTIVE: the kernel's own forward math is pure
+    jnp, so running it outside Pallas with the same portable masks and
+    jax.grad-ing it gives the exact jacobian the hand-written backward
+    must reproduce — including the dropout branches the dropout-off
+    parity tests cannot reach."""
+    import jax.flatten_util as fu2
+    from glow_tts_train_tpu.ops import block_pallas as bp
+    from glow_tts_train_tpu.ops.wn_pallas import _offsets, portable_ops
+
+    hp_ref, _ = _decoder_pair()
+    params = flows.decoder_init(jax.random.PRNGKey(0), hp_ref)
+    block0 = jax.tree_util.tree_map(lambda a: a[0], params["blocks"])
+    x, mask, _ = _inputs()
+    x_sq, mask_sq = flows.squeeze(x, mask, 2)
+    b, t, c = x_sq.shape
+    cot = jnp.asarray(
+        np.random.default_rng(3).standard_normal(x_sq.shape), jnp.float32
+    )
+    key = jax.random.PRNGKey(7)
+    p_drop = 0.3
+
+    def kernel_out(bparams):
+        return bp.flow_block_fused(
+            bparams, x_sq, mask_sq, None,
+            hidden_channels=hp_ref.hidden_channels,
+            dilation_rate=hp_ref.dilation_rate,
+            n_layers=hp_ref.n_layers,
+            n_split=hp_ref.n_split,
+            p_dropout=p_drop,
+            rng=key,
+            deterministic=False,
+        )
+
+    thr = np.uint32(min(round(p_drop * 2 ** 32), 2 ** 32 - 1))
+    st_tup = (
+        hp_ref.n_layers,
+        tuple(
+            _offsets(hp_ref.kernel_size, hp_ref.dilation_rate ** l)
+            for l in range(hp_ref.n_layers)
+        ),
+        thr,
+        1.0 / (1.0 - p_drop),
+        False,
+    )
+    st = dict(bp._st_from_key(bp._BlockKey(st_tup, True)), interpret=True)
+    seed_f = jax.random.randint(
+        key, (), minval=0, maxval=np.int32(2 ** 31 - 1), dtype=jnp.int32
+    )
+    mask_b = jnp.broadcast_to(mask_sq.astype(jnp.float32), (b, t, 1))
+
+    def oracle_out(bparams):
+        folded = bp.fold_block_params(
+            bparams, hp_ref.n_layers, hp_ref.n_split, jnp.float32
+        )
+        g_all = jnp.zeros(
+            (b, hp_ref.n_layers, 2 * hp_ref.hidden_channels), jnp.float32
+        )
+        zs, lds = [], []
+        with portable_ops():
+            for i in range(b):
+                refs = (
+                    folded["A"], folded["bA"].reshape(1, -1),
+                    folded["W_s"], folded["b_s"].reshape(1, -1),
+                    folded["W_e"], folded["b_e"].reshape(1, -1),
+                    folded["W_in"], folded["b_in"],
+                    folded["W_rs"], folded["b_rs"],
+                    g_all[i : i + 1],
+                )
+                z, ld, _ = bp._block_fwd_math(
+                    x_sq[i], mask_b[i], refs, dict(st, seed=seed_f + i)
+                )
+                zs.append(z)
+                lds.append(ld)
+        return jnp.stack(zs), jnp.stack(lds)
+
+    z_k, ld_k = kernel_out(block0)
+    z_o, ld_o = oracle_out(block0)
+    np.testing.assert_allclose(np.asarray(z_o), np.asarray(z_k), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(ld_o), np.asarray(ld_k), rtol=1e-5
+    )
+
+    def loss_k(bparams):
+        z, ld = kernel_out(bparams)
+        return jnp.sum(z * cot) + 0.1 * jnp.sum(ld)
+
+    def loss_o(bparams):
+        z, ld = oracle_out(bparams)
+        return jnp.sum(z * cot) + 0.1 * jnp.sum(ld)
+
+    f_k, _ = fu2.ravel_pytree(jax.grad(loss_k)(block0))
+    f_o, _ = fu2.ravel_pytree(jax.grad(loss_o)(block0))
+    scale = float(jnp.max(jnp.abs(f_o)))
+    np.testing.assert_allclose(
+        np.asarray(f_k), np.asarray(f_o), atol=3e-6 * max(scale, 1.0)
+    )
+
+
+def test_fused_wn_inkernel_dropout_grads():
+    """Same autodiff-oracle coverage for the WN kernel's dropout backward
+    (both residuals modes)."""
+    import jax.flatten_util as fu2
+    from glow_tts_train_tpu.ops import wn_pallas as wp
+
+    h, L = 16, 2
+    wn = flows.wn_init(jax.random.PRNGKey(1), h, 3, L)
+    ws0 = wp.fold_wn_weights(wn, L, jnp.float32)
+    rng = np.random.default_rng(4)
+    b, t = 2, 24
+    x = jnp.asarray(rng.standard_normal((b, t, h)), jnp.float32)
+    mask = jnp.ones((b, t, 1), jnp.float32)
+    g_all = jnp.zeros((b, L, 2 * h), jnp.float32)
+    cot = jnp.asarray(rng.standard_normal((b, t, h)), jnp.float32)
+    p_drop = 0.3
+    seed = jnp.int32(123)
+
+    thr = np.uint32(min(round(p_drop * 2 ** 32), 2 ** 32 - 1))
+    st = {
+        "n_layers": L,
+        "offs": tuple(wp._offsets(3, 1) for _ in range(L)),
+        "drop_threshold": thr,
+        "drop_scale": 1.0 / (1.0 - p_drop),
+        "interpret": True,
+    }
+
+    def oracle_out(ws):
+        W_in, b_in, W_rs, b_rs = ws
+        outs = []
+        with wp.portable_ops():
+            for i in range(b):
+                refs = (
+                    W_in, b_in, W_rs, b_rs, g_all[i : i + 1], mask[i]
+                )
+                xcur = x[i]
+                skip = jnp.zeros((t, h), jnp.float32)
+                st_i = dict(st, seed=seed + i)
+                for l in range(L):
+                    xcur, skip_inc, _ = wp._layer_fwd(xcur, l, refs, st_i)
+                    skip = skip + skip_inc.astype(jnp.float32)
+                outs.append(skip)
+        return jnp.stack(outs)
+
+    for residuals in ("recompute", "store"):
+        def kernel_out(ws, residuals=residuals):
+            return wp.wn_stack_fused(
+                ws[0], ws[1], ws[2], ws[3], x, mask, g_all, seed,
+                kernel_size=3, dilation_rate=1, n_layers=L,
+                p_dropout=p_drop, deterministic=False,
+                residuals=residuals,
+            )
+
+        y_k = kernel_out(ws0)
+        y_o = oracle_out(ws0)
+        np.testing.assert_allclose(
+            np.asarray(y_o), np.asarray(y_k), atol=1e-5,
+            err_msg=residuals,
+        )
+        f_k, _ = fu2.ravel_pytree(
+            jax.grad(lambda w: jnp.sum(kernel_out(w) * cot))(ws0)
+        )
+        f_o, _ = fu2.ravel_pytree(
+            jax.grad(lambda w: jnp.sum(oracle_out(w) * cot))(ws0)
+        )
+        scale = float(jnp.max(jnp.abs(f_o)))
+        np.testing.assert_allclose(
+            np.asarray(f_k), np.asarray(f_o),
+            atol=3e-6 * max(scale, 1.0), err_msg=residuals,
+        )
+
+
 def test_block_fuse_auto_resolution():
     """config flow_block_fuse="auto" follows the resolved wn_impl."""
     from glow_tts_train_tpu.models import hyper_from_config

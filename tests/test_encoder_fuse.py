@@ -164,47 +164,76 @@ def test_fused_encoder_gen_path():
     np.testing.assert_array_equal(outs[True][1], outs[False][1])
 
 
-@pytest.mark.skipif(
-    jax.default_backend() != "tpu",
-    reason="in-kernel dropout draws from the TPU hardware PRNG, which has "
-    "no interpret-mode lowering (pltpu.prng_seed); runs on real TPU",
-)
 def test_fused_encoder_inkernel_dropout():
-    """The in-kernel hardware-PRNG dropout path (what a real TPU training
-    step runs): statistics-level checks + deterministic replay + finite
-    grads, called directly so the dropout fallback gating is bypassed."""
+    """The in-kernel dropout path (what a real TPU training step runs,
+    there via the hardware PRNG; here via the portable interpret-mode
+    bits): statistics, deterministic replay, and a finite-difference check
+    of the custom-VJP gradients THROUGH the dropout branches — the masks
+    depend only on (seed, site), never on weights, so central differences
+    are exact up to curvature."""
     from glow_tts_train_tpu.ops.encoder_pallas import encoder_layer_fused
 
     params, kw = _encoder(n_layers=1)
     layer0 = jax.tree_util.tree_map(lambda a: a[0], params)
     x, mask = _inputs()
 
-    def run(key, p=0.4):
+    def run(key, p, q=None):
         return encoder_layer_fused(
-            layer0, x, mask, **kw, kernel_size=3, p_dropout=p,
-            rng=key, deterministic=False,
+            q if q is not None else layer0, x, mask, **kw, kernel_size=3,
+            p_dropout=p, rng=key, deterministic=False,
         )
 
-    y = run(jax.random.PRNGKey(5))
+    y = run(jax.random.PRNGKey(5), 0.4)
     assert np.isfinite(np.asarray(y)).all()
     # same seed -> identical (deterministic replay, as backward needs)
     np.testing.assert_array_equal(
-        np.asarray(run(jax.random.PRNGKey(5))), np.asarray(y)
+        np.asarray(run(jax.random.PRNGKey(5), 0.4)), np.asarray(y)
     )
-    # different seed -> different masks
-    assert float(jnp.max(jnp.abs(run(jax.random.PRNGKey(6)) - y))) > 0
+    # different seed -> different masks (dropout is genuinely active)
+    assert float(jnp.max(jnp.abs(run(jax.random.PRNGKey(6), 0.4) - y))) > 0
 
-    def loss(p):
-        out = encoder_layer_fused(
-            p, x, mask, **kw, kernel_size=3, p_dropout=0.4,
-            rng=jax.random.PRNGKey(7), deterministic=False,
-        )
-        return jnp.sum(out**2)
+    # autodiff oracle: the kernel's own forward math is pure jnp — run it
+    # outside Pallas with the same portable masks and jax.grad it; the
+    # hand-written VJP must match exactly (incl. its dropout branches)
+    from glow_tts_train_tpu.ops import encoder_pallas as ep
+    from glow_tts_train_tpu.ops.wn_pallas import _offsets, portable_ops
 
-    grads = jax.grad(loss)(layer0)
-    flat, _ = fu.ravel_pytree(grads)
-    assert np.isfinite(np.asarray(flat)).all()
-    assert float(jnp.max(jnp.abs(flat))) > 0
+    key = jax.random.PRNGKey(7)
+    b = x.shape[0]
+    thr = np.uint32(min(round(0.4 * 2 ** 32), 2 ** 32 - 1))
+    st_tup = (2, 4, _offsets(3, 1), thr, 1.0 / 0.6)
+    st = dict(ep._st_from_key(ep._EncKey(st_tup, True)), interpret=True)
+    seed_f = jax.random.randint(
+        key, (), minval=0, maxval=np.int32(2 ** 31 - 1), dtype=jnp.int32
+    )
+    mask_b = jnp.broadcast_to(mask, (b, x.shape[1], 1))
+
+    def orc(q):
+        refs = ep.fold_encoder_layer(q, jnp.float32)
+        outs = []
+        with portable_ops():
+            for i in range(b):
+                out, _ = ep._layer_fwd_math(
+                    x[i], mask_b[i], refs, dict(st, seed=seed_f + i)
+                )
+                outs.append(out)
+        return jnp.stack(outs)
+
+    y_k = run(key, 0.4)
+    y_o = orc(layer0)
+    np.testing.assert_allclose(np.asarray(y_o), np.asarray(y_k), atol=1e-5)
+
+    cot = jnp.asarray(
+        np.random.default_rng(3).standard_normal(y.shape), jnp.float32
+    )
+    g_k = jax.grad(lambda q: jnp.sum(run(key, 0.4, q=q) * cot))(layer0)
+    g_o = jax.grad(lambda q: jnp.sum(orc(q) * cot))(layer0)
+    f_k, _ = fu.ravel_pytree(g_k)
+    f_o, _ = fu.ravel_pytree(g_o)
+    scale = float(jnp.max(jnp.abs(f_o)))
+    np.testing.assert_allclose(
+        np.asarray(f_k), np.asarray(f_o), atol=3e-6 * max(scale, 1.0)
+    )
 
 
 def test_encoder_fuse_auto_resolution():

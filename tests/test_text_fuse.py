@@ -117,49 +117,111 @@ def test_fused_text_dropout_fallback_off_tpu():
     np.testing.assert_array_equal(np.asarray(y2), np.asarray(y1))
 
 
-@pytest.mark.skipif(
-    jax.default_backend() != "tpu",
-    reason="in-kernel dropout draws from the TPU hardware PRNG, which has "
-    "no interpret-mode lowering (pltpu.prng_seed); runs on real TPU",
-)
 def test_fused_text_inkernel_dropout():
-    """The in-kernel hardware-PRNG dropout path for both text kernels
-    (what a real TPU training step runs): statistics + deterministic
-    replay + finite grads, bypassing the dropout fallback gating."""
-    from glow_tts_train_tpu.ops.text_pallas import (
-        duration_predictor_fused,
-        prenet_fused,
-    )
+    """The in-kernel dropout path for both text kernels (hardware PRNG on
+    TPU, portable interpret-mode bits elsewhere): statistics, deterministic
+    replay, and the custom-VJP gradients checked EXACTLY against jax.grad
+    of the kernels' own forward math run outside Pallas with the same
+    portable masks (the *_fwd_math functions are pure jnp — the perfect
+    autodiff oracle for the hand-written backward, incl. its dropout
+    branches)."""
+    from glow_tts_train_tpu.ops import text_pallas as tp
 
     h = 32
     x, mask = _inputs(c=h)
+    b = x.shape[0]
     pn = prenet_init(jax.random.PRNGKey(0), h, h, h)
+    # the projection is zero-init: without perturbing it the residual
+    # swallows the conv stack entirely and dropout is invisible
+    pn["proj"]["w"] = pn["proj"]["w"] + 0.1 * jax.random.normal(
+        jax.random.PRNGKey(2), pn["proj"]["w"].shape
+    )
     dp = duration_predictor_init(jax.random.PRNGKey(1), h, 40, 3)
+    cot = jnp.asarray(
+        np.random.default_rng(3).standard_normal(x.shape), jnp.float32
+    )
+    key = jax.random.PRNGKey(7)
+    mask_b = jnp.broadcast_to(mask, (b, x.shape[1], 1))
 
-    for name, fn, params in (
-        ("prenet", lambda p, key: prenet_fused(
-            p, x, mask, p_dropout=0.5, rng=key, deterministic=False,
-        ), pn),
-        ("dp", lambda p, key: duration_predictor_fused(
-            p, x, mask, p_dropout=0.4, rng=key, deterministic=False,
-        ), dp),
+    def oracle(params, fwd_math, weights_fn, st_builder):
+        from glow_tts_train_tpu.ops.wn_pallas import portable_ops
+
+        seed_f, st_tup = st_builder()
+        st = dict(
+            tp._st_from_key(tp._TextKey(st_tup, True)), interpret=True
+        )
+        weights = weights_fn(params, jnp.float32)
+        outs = []
+        with portable_ops():
+            for i in range(b):
+                out, _ = fwd_math(
+                    x[i], mask_b[i], weights, dict(st, seed=seed_f[0] + i)
+                )
+                outs.append(out)
+        return jnp.stack(outs)
+
+    # --- prenet ---
+    def pn_kernel(p, k):
+        return tp.prenet_fused(
+            p, x, mask, p_dropout=0.5, rng=k, deterministic=False
+        )
+
+    def pn_oracle(p):
+        return oracle(
+            p, lambda *a: tp._prenet_fwd_math(*a), tp.prenet_weights,
+            lambda: tp._seed_and_st(3, 5, 0.5, key, False),
+        )
+
+    # --- duration predictor (stack only; proj handled by the wrapper) ---
+    def dp_kernel(p, k):
+        return tp.duration_predictor_fused(
+            p, x, mask, p_dropout=0.4, rng=k, deterministic=False
+        )
+
+    def dp_oracle(p):
+        from glow_tts_train_tpu.ops.conv import conv1d
+
+        h2 = oracle(
+            p, lambda *a: tp._dp_fwd_math(*a), tp.dp_weights,
+            lambda: tp._seed_and_st(2, 3, 0.4, key, False),
+        )
+        return conv1d(h2 * mask, p["proj"]) * mask
+
+    for name, kernel, orc, params in (
+        ("prenet", pn_kernel, pn_oracle, pn),
+        ("dp", dp_kernel, dp_oracle, dp),
     ):
-        y = fn(params, jax.random.PRNGKey(5))
+        y = kernel(params, jax.random.PRNGKey(5))
         assert np.isfinite(np.asarray(y)).all(), name
         np.testing.assert_array_equal(
-            np.asarray(fn(params, jax.random.PRNGKey(5))), np.asarray(y),
-            err_msg=name,
+            np.asarray(kernel(params, jax.random.PRNGKey(5))),
+            np.asarray(y), err_msg=name,
         )
         assert float(
-            jnp.max(jnp.abs(fn(params, jax.random.PRNGKey(6)) - y))
+            jnp.max(jnp.abs(kernel(params, jax.random.PRNGKey(6)) - y))
         ) > 0, name
 
-        grads = jax.grad(
-            lambda p: jnp.sum(fn(p, jax.random.PRNGKey(7)) ** 2)
+        # forward: oracle reproduces the kernel (same masks, same math)
+        y_k = kernel(params, key)
+        y_o = orc(params)
+        np.testing.assert_allclose(
+            np.asarray(y_o), np.asarray(y_k), atol=1e-5, err_msg=name
+        )
+
+        c_out = y_k.shape[-1]
+        g_k = jax.grad(
+            lambda p: jnp.sum(kernel(p, key) * cot[..., :c_out])
         )(params)
-        flat, _ = fu.ravel_pytree(grads)
-        assert np.isfinite(np.asarray(flat)).all(), name
-        assert float(jnp.max(jnp.abs(flat))) > 0, name
+        g_o = jax.grad(
+            lambda p: jnp.sum(orc(p) * cot[..., :c_out])
+        )(params)
+        f_k, _ = fu.ravel_pytree(g_k)
+        f_o, _ = fu.ravel_pytree(g_o)
+        scale = float(jnp.max(jnp.abs(f_o)))
+        np.testing.assert_allclose(
+            np.asarray(f_k), np.asarray(f_o),
+            atol=3e-6 * max(scale, 1.0), err_msg=name,
+        )
 
 
 def test_fused_text_train_step_equivalent():
