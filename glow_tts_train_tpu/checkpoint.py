@@ -592,3 +592,153 @@ def import_torch_opt_state(opt_sd, model_sd, config, params):
             exc,
         )
         return None
+
+
+# ---------------------------------------------------------------------------
+# Torch (.pth) checkpoint EXPORT (the inverse of import_torch_state_dict) —
+# lets a migrating user take a TPU-trained model back to the reference
+# stack.  The mapping is the exact inverse of the import transforms above:
+# conv [k, in, out] -> [out, in, k], weight-norm g [c] -> [out, 1, 1],
+# ActNorm [c] -> [1, c, 1], stacked scan params -> per-layer module lists.
+# Reference checkpoint contract: checkpoint.py:27-48 (a dict with "model",
+# "global_step", "learning_rate", "version", "optimizer").
+# ---------------------------------------------------------------------------
+
+
+def _np(a) -> np.ndarray:
+    return np.asarray(a, dtype=np.float32)
+
+
+def _conv_w_inv(a) -> np.ndarray:
+    """ours [k, in, out] -> torch conv weight [out, in, k]."""
+    return _np(a).transpose(2, 1, 0)
+
+
+def _unstack(stacked: dict, i: int) -> dict:
+    return jax.tree_util.tree_map(lambda a: a[i], stacked)
+
+
+def _emit_plain_conv(out, prefix: str, conv) -> None:
+    out[prefix + ".weight"] = _conv_w_inv(conv["w"])
+    out[prefix + ".bias"] = _np(conv["b"])
+
+
+def _emit_wn_conv(out, prefix: str, conv) -> None:
+    out[prefix + ".weight_v"] = _conv_w_inv(conv["v"])
+    out[prefix + ".weight_g"] = _np(conv["g"]).reshape(-1, 1, 1)
+    out[prefix + ".bias"] = _np(conv["b"])
+
+
+def _emit_norm(out, prefix: str, norm) -> None:
+    out[prefix + ".gamma"] = _np(norm["gamma"])
+    out[prefix + ".beta"] = _np(norm["beta"])
+
+
+def export_torch_state_dict(params: Params, config: TrainingConfig) -> dict:
+    """Our param pytree -> a reference FlowGenerator state dict (numpy
+    float32 values; callers wrap in torch tensors at save time).  Exact
+    inverse of :func:`import_torch_state_dict` — the roundtrip is
+    bit-identical and the output loads into the reference model with
+    ``strict=True`` (tests/test_torch_export.py)."""
+    m = config.model
+    sd: typing.Dict[str, np.ndarray] = {}
+
+    sd["encoder.emb.weight"] = _np(params["emb"])
+
+    if m.prenet and "prenet" in params:
+        pre = params["prenet"]
+        n_pre = jax.tree_util.tree_leaves(pre["layers"])[0].shape[0]
+        for i in range(n_pre):
+            layer = _unstack(pre["layers"], i)
+            _emit_plain_conv(sd, f"encoder.pre.conv_layers.{i}", layer["conv"])
+            _emit_norm(sd, f"encoder.pre.norm_layers.{i}", layer["norm"])
+        _emit_plain_conv(sd, "encoder.pre.proj", pre["proj"])
+
+    for i in range(m.n_layers_enc):
+        layer = _unstack(params["encoder"], i)
+        at = layer["attn"]
+        for name in ("q", "k", "v", "o"):
+            _emit_plain_conv(
+                sd, f"encoder.encoder.attn_layers.{i}.conv_{name}", at[name]
+            )
+        sd[f"encoder.encoder.attn_layers.{i}.emb_rel_k"] = _np(at["emb_rel_k"])
+        sd[f"encoder.encoder.attn_layers.{i}.emb_rel_v"] = _np(at["emb_rel_v"])
+        _emit_norm(sd, f"encoder.encoder.norm_layers_1.{i}", layer["norm_1"])
+        _emit_plain_conv(
+            sd, f"encoder.encoder.ffn_layers.{i}.conv_1", layer["ffn"]["conv_1"]
+        )
+        _emit_plain_conv(
+            sd, f"encoder.encoder.ffn_layers.{i}.conv_2", layer["ffn"]["conv_2"]
+        )
+        _emit_norm(sd, f"encoder.encoder.norm_layers_2.{i}", layer["norm_2"])
+
+    _emit_plain_conv(sd, "encoder.proj_m", params["proj_m"])
+    if not m.mean_only and "proj_s" in params:
+        _emit_plain_conv(sd, "encoder.proj_s", params["proj_s"])
+
+    dp = params["proj_w"]
+    _emit_plain_conv(sd, "encoder.proj_w.conv_1", dp["conv_1"])
+    _emit_norm(sd, "encoder.proj_w.norm_1", dp["norm_1"])
+    _emit_plain_conv(sd, "encoder.proj_w.conv_2", dp["conv_2"])
+    _emit_norm(sd, "encoder.proj_w.norm_2", dp["norm_2"])
+    _emit_plain_conv(sd, "encoder.proj_w.proj", dp["proj"])
+
+    n_wn_layers = m.n_block_layers
+    for b in range(m.n_blocks_dec):
+        blk = _unstack(params["decoder"]["blocks"], b)
+        base = f"decoder.flows.{3 * b}"
+        sd[base + ".bias"] = _np(blk["actnorm"]["bias"]).reshape(1, -1, 1)
+        sd[base + ".logs"] = _np(blk["actnorm"]["logs"]).reshape(1, -1, 1)
+        # NOTE: weight_inv (store_inverse) is a derived cache, not a
+        # reference parameter — deliberately not exported
+        sd[f"decoder.flows.{3 * b + 1}.weight"] = _np(
+            blk["invconv"]["weight"]
+        )
+        cpl = f"decoder.flows.{3 * b + 2}"
+        _emit_wn_conv(sd, f"{cpl}.start", blk["coupling"]["start"])
+        _emit_plain_conv(sd, f"{cpl}.end", blk["coupling"]["end"])
+        wn = blk["coupling"]["wn"]
+        for j in range(n_wn_layers):
+            _emit_wn_conv(
+                sd, f"{cpl}.wn.in_layers.{j}", _unstack(wn["in_layers"], j)
+            )
+        for j in range(n_wn_layers - 1):
+            _emit_wn_conv(
+                sd, f"{cpl}.wn.res_skip_layers.{j}", _unstack(wn["res_skip"], j)
+            )
+        _emit_wn_conv(
+            sd,
+            f"{cpl}.wn.res_skip_layers.{n_wn_layers - 1}",
+            wn["res_skip_last"],
+        )
+        if "cond" in wn:
+            _emit_wn_conv(sd, f"{cpl}.wn.cond_layer", wn["cond"])
+
+    if m.n_speakers > 1 and "emb_g" in params:
+        sd["emb_g.weight"] = _np(params["emb_g"])
+
+    return sd
+
+
+def save_torch_checkpoint(
+    checkpoint: Checkpoint, config: TrainingConfig, path: Path
+) -> None:
+    """Write a reference-compatible ``.pth`` (model weights only — the
+    reference can resume optimization from it the same way it resumes from
+    its own checkpoints with a fresh optimizer)."""
+    import torch
+
+    sd = {
+        k: torch.from_numpy(np.ascontiguousarray(v))
+        for k, v in export_torch_state_dict(checkpoint.params, config).items()
+    }
+    torch.save(
+        {
+            "model": sd,
+            "global_step": int(checkpoint.global_step),
+            "learning_rate": float(checkpoint.learning_rate),
+            "version": int(checkpoint.version),
+            "optimizer": None,
+        },
+        path,
+    )

@@ -41,7 +41,8 @@ ARTIFACT_NAME = "generator.stablehlo"
 ONNX_NAME = "generator.onnx"
 META_NAME = "export_meta.json"
 
-FORMATS = ("stablehlo", "savedmodel", "onnx")
+FORMATS = ("stablehlo", "savedmodel", "onnx", "torch")
+TORCH_NAME = "generator.pth"
 
 
 def build_infer_fn(params, config, max_frames: int, speaker: int = 0):
@@ -261,9 +262,23 @@ def main(argv=None):
         args.checkpoint,
         checkpoint.global_step,
     )
-    params = store_inverse(checkpoint.params)
 
     args.output.mkdir(parents=True, exist_ok=True)
+
+    if args.format == "torch":
+        # reverse migration: a reference-compatible .pth the PyTorch stack
+        # loads with strict=True (exact inverse of the .pth importer) —
+        # raw training weights, NOT store_inverse'd (the reference calls
+        # store_inverse itself at inference, models.py:408-409)
+        from .checkpoint import save_torch_checkpoint
+
+        save_torch_checkpoint(checkpoint, config, args.output / TORCH_NAME)
+        with open(args.output / "config.json", "w") as config_file:
+            config.save(config_file)
+        _LOGGER.info("Exported model (torch) to %s", args.output)
+        return
+
+    params = store_inverse(checkpoint.params)
 
     if args.format == "stablehlo":
         serialized = export_model(

@@ -1,0 +1,161 @@
+"""Reverse migration: exporting our checkpoints back to the reference
+PyTorch format.
+
+export_torch_state_dict must be the exact inverse of
+import_torch_state_dict (reference checkpoint contract checkpoint.py:27-48,
+state-dict layout per models.py/layers.py/attentions.py), so:
+
+* torch → ours → torch roundtrips bit-identically,
+* ours → torch loads into the actual reference FlowGenerator with
+  strict=True and produces the same mels,
+* the export CLI's --format torch artifact reads back through our own
+  .pth importer losslessly.
+"""
+
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from glow_tts_train_tpu.checkpoint import (  # noqa: E402
+    Checkpoint,
+    export_torch_state_dict,
+    import_torch_state_dict,
+    load_checkpoint,
+    save_checkpoint,
+    save_torch_checkpoint,
+)
+from glow_tts_train_tpu.models import hyper_from_config, init_model  # noqa: E402
+
+from helpers import tiny_config  # noqa: E402
+from test_parity_torch import build_pair, reference_models  # noqa: E402,F401
+
+
+def _tree_equal(a, b, msg=""):
+    fa = jax.tree_util.tree_leaves_with_path(a)
+    fb = dict(
+        (jax.tree_util.keystr(p), leaf)
+        for p, leaf in jax.tree_util.tree_leaves_with_path(b)
+    )
+    assert len(fa) == len(fb), (len(fa), len(fb), msg)
+    for p, leaf in fa:
+        key = jax.tree_util.keystr(p)
+        np.testing.assert_array_equal(
+            np.asarray(leaf, np.float32), np.asarray(fb[key], np.float32),
+            err_msg=f"{msg}:{key}",
+        )
+
+
+@pytest.mark.parametrize("multi", [False, True], ids=["single", "multispeaker"])
+def test_state_dict_roundtrip_bijective(multi):
+    """ours -> torch keys -> ours is bit-identical (incl. multispeaker
+    cond/emb_g), and torch -> ours -> torch covers every reference key."""
+    over = dict(n_speakers=3, gin_channels=12) if multi else {}
+    config = tiny_config(**over)
+    params = jax.tree_util.tree_map(
+        np.asarray, init_model(jax.random.PRNGKey(0), hyper_from_config(config))
+    )
+    sd = export_torch_state_dict(params, config)
+    back = import_torch_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()},
+        config,
+    )
+    _tree_equal(back, params, "ours->torch->ours")
+
+    sd2 = export_torch_state_dict(back, config)
+    assert set(sd2.keys()) == set(sd.keys())
+    for k in sd:
+        np.testing.assert_array_equal(sd2[k], sd[k], err_msg=k)
+
+
+def test_exported_state_dict_loads_into_reference(reference_models):  # noqa: F811
+    """strict=True load into the real reference model, and the loaded model
+    produces the same training-forward outputs as the original."""
+    config = tiny_config()
+    ref, params = build_pair(reference_models, config)
+
+    sd = {
+        k: torch.from_numpy(np.ascontiguousarray(v))
+        for k, v in export_torch_state_dict(params, config).items()
+    }
+    torch.manual_seed(7)
+    ref2, _ = build_pair(reference_models, config, seed=7)
+    missing, unexpected = ref2.load_state_dict(sd, strict=True), None
+    assert not missing.missing_keys and not missing.unexpected_keys
+
+    rng = np.random.default_rng(1)
+    x = torch.from_numpy(
+        rng.integers(1, config.model.num_symbols, size=(2, 9)).astype(np.int64)
+    )
+    x_lengths = torch.tensor([9, 7])
+    y = torch.from_numpy(
+        rng.standard_normal((2, config.audio.mel_channels, 24)).astype(np.float32)
+    )
+    y_lengths = torch.tensor([24, 20])
+    with torch.no_grad():
+        out1 = ref(x, x_lengths, y, y_lengths, gen=False)
+        out2 = ref2(x, x_lengths, y, y_lengths, gen=False)
+    z1, z2 = out1[0][0], out2[0][0]
+    np.testing.assert_array_equal(z2.numpy(), z1.numpy())
+
+
+def test_export_cli_torch_format(tmp_path):
+    """--format torch writes a reference-contract .pth that our own .pth
+    importer reads back losslessly (weights + step metadata)."""
+    config = tiny_config()
+    params = jax.tree_util.tree_map(
+        np.asarray, init_model(jax.random.PRNGKey(3), hyper_from_config(config))
+    )
+    ckpt = Checkpoint(
+        params=params, opt_state=None, learning_rate=0.125, global_step=42,
+        version=1,
+    )
+    save_checkpoint(ckpt, tmp_path / "checkpoint_42.npz")
+    with open(tmp_path / "config.json", "w") as f:
+        config.save(f)
+
+    proc = subprocess.run(
+        [
+            sys.executable, "-m", "glow_tts_train_tpu.export",
+            str(tmp_path / "checkpoint_42.npz"), str(tmp_path / "out"),
+            "--config", str(tmp_path / "config.json"),
+            "--format", "torch", "--platform", "cpu",
+        ],
+        capture_output=True, text=True,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    pth = tmp_path / "out" / "generator.pth"
+    assert pth.exists()
+
+    loaded = torch.load(pth, map_location="cpu", weights_only=False)
+    assert loaded["global_step"] == 42
+    assert loaded["optimizer"] is None
+
+    back = load_checkpoint(pth, config, load_optimizer=False)
+    assert back.global_step == 42
+    assert abs(back.learning_rate - 0.125) < 1e-9
+    _tree_equal(back.params, params, "cli roundtrip")
+
+
+def test_save_torch_checkpoint_direct(tmp_path):
+    """Multispeaker direct save: emb_g + cond make it into the .pth."""
+    config = tiny_config(n_speakers=3, gin_channels=12)
+    params = jax.tree_util.tree_map(
+        np.asarray, init_model(jax.random.PRNGKey(5), hyper_from_config(config))
+    )
+    ckpt = Checkpoint(
+        params=params, opt_state=None, learning_rate=1.0, global_step=1,
+        version=1,
+    )
+    save_torch_checkpoint(ckpt, config, tmp_path / "g.pth")
+    sd = torch.load(tmp_path / "g.pth", map_location="cpu", weights_only=False)
+    assert "emb_g.weight" in sd["model"]
+    assert any("cond_layer" in k for k in sd["model"])
+    back = load_checkpoint(tmp_path / "g.pth", config, load_optimizer=False)
+    _tree_equal(back.params, params, "multispeaker")
