@@ -717,15 +717,22 @@ def export_torch_state_dict(params: Params, config: TrainingConfig) -> dict:
     if m.n_speakers > 1 and "emb_g" in params:
         sd["emb_g.weight"] = _np(params["emb_g"])
 
-    return sd
+    # canonicalize to the reference's REGISTRATION order: torch state dicts
+    # carry insertion order, our own .pth importer maps Adam state indices
+    # through it, and a reference-saved file has exactly this order
+    order = [n for n in _reference_param_order(config) if n in sd]
+    assert len(order) == len(sd), sorted(set(sd) - set(order))
+    return {k: sd[k] for k in order}
 
 
 def save_torch_checkpoint(
     checkpoint: Checkpoint, config: TrainingConfig, path: Path
 ) -> None:
-    """Write a reference-compatible ``.pth`` (model weights only — the
-    reference can resume optimization from it the same way it resumes from
-    its own checkpoints with a fresh optimizer)."""
+    """Write a reference-compatible ``.pth``: model weights plus a torch
+    Adam state dict (real moments when the checkpoint carries them, a
+    valid empty state otherwise — the reference loads the optimizer
+    unconditionally on resume, checkpoint.py:74-76, so ``None`` would
+    crash it)."""
     import torch
 
     sd = {
@@ -738,7 +745,138 @@ def save_torch_checkpoint(
             "global_step": int(checkpoint.global_step),
             "learning_rate": float(checkpoint.learning_rate),
             "version": int(checkpoint.version),
-            "optimizer": None,
+            "optimizer": export_torch_opt_state(
+                checkpoint.opt_state, checkpoint.params, config,
+                checkpoint.learning_rate,
+            ),
         },
         path,
     )
+
+
+def _reference_param_order(config: TrainingConfig) -> typing.List[str]:
+    """Reference FlowGenerator parameter names in REGISTRATION order (which
+    is also torch state_dict key order and ``model.parameters()`` order —
+    what ``torch.optim.Adam`` state indices refer to).
+
+    Derived from the reference module definition order: FlowGenerator =
+    encoder, decoder, emb_g (models.py:275-308); TextEncoder = emb, pre,
+    encoder, proj_m, proj_s, proj_w (models.py:87-110); Encoder's four
+    ModuleLists in attribute order (attentions.py:23-27); MHA registers
+    emb_rel_k/v as own Parameters BEFORE its conv children appear in the
+    walk (attentions.py:175-189); weight-normed convs order as
+    (bias, weight_g, weight_v) because weight_norm deletes 'weight' and
+    appends g/v; ActNorm registers logs then bias (layers.py:7-8); WN =
+    in_layers, res_skip_layers, cond_layer (layers.py:105-113).
+    Verified against the live reference model in tests/test_torch_export.py.
+    """
+    m = config.model
+    names: typing.List[str] = ["encoder.emb.weight"]
+
+    def plain(prefix):
+        return [prefix + ".weight", prefix + ".bias"]
+
+    def normed(prefix):
+        return [prefix + ".gamma", prefix + ".beta"]
+
+    def wn_conv(prefix):
+        return [prefix + ".bias", prefix + ".weight_g", prefix + ".weight_v"]
+
+    if m.prenet:
+        for i in range(3):
+            names += plain(f"encoder.pre.conv_layers.{i}")
+        for i in range(3):
+            names += normed(f"encoder.pre.norm_layers.{i}")
+        names += plain("encoder.pre.proj")
+
+    for i in range(m.n_layers_enc):
+        p = f"encoder.encoder.attn_layers.{i}"
+        if m.window_size is not None:
+            names += [p + ".emb_rel_k", p + ".emb_rel_v"]
+        for c in ("conv_q", "conv_k", "conv_v", "conv_o"):
+            names += plain(f"{p}.{c}")
+    for i in range(m.n_layers_enc):
+        names += normed(f"encoder.encoder.norm_layers_1.{i}")
+    for i in range(m.n_layers_enc):
+        names += plain(f"encoder.encoder.ffn_layers.{i}.conv_1")
+        names += plain(f"encoder.encoder.ffn_layers.{i}.conv_2")
+    for i in range(m.n_layers_enc):
+        names += normed(f"encoder.encoder.norm_layers_2.{i}")
+
+    names += plain("encoder.proj_m")
+    if not m.mean_only:
+        names += plain("encoder.proj_s")
+    names += plain("encoder.proj_w.conv_1")
+    names += normed("encoder.proj_w.norm_1")
+    names += plain("encoder.proj_w.conv_2")
+    names += normed("encoder.proj_w.norm_2")
+    names += plain("encoder.proj_w.proj")
+
+    for b in range(m.n_blocks_dec):
+        names += [f"decoder.flows.{3 * b}.logs", f"decoder.flows.{3 * b}.bias"]
+        names += [f"decoder.flows.{3 * b + 1}.weight"]
+        cpl = f"decoder.flows.{3 * b + 2}"
+        names += wn_conv(f"{cpl}.start")
+        names += plain(f"{cpl}.end")
+        for j in range(m.n_block_layers):
+            names += wn_conv(f"{cpl}.wn.in_layers.{j}")
+        for j in range(m.n_block_layers):
+            names += wn_conv(f"{cpl}.wn.res_skip_layers.{j}")
+        if m.gin_channels != 0:
+            names += wn_conv(f"{cpl}.wn.cond_layer")
+
+    if m.n_speakers > 1:
+        names.append("emb_g.weight")
+    return names
+
+
+def export_torch_opt_state(
+    opt_state, params: Params, config: TrainingConfig, learning_rate: float
+) -> dict:
+    """Our optax Adam state -> a torch.optim.Adam state dict the reference
+    resumes from (inverse of :func:`import_torch_opt_state`).  When
+    ``opt_state`` is None (or has no Adam moments), returns a valid
+    EMPTY-state dict — torch accepts it and rebuilds moments, and the
+    reference's resume path no longer crashes on ``optimizer=None``
+    (reference checkpoint.py:74-76 loads it unconditionally)."""
+    import torch
+
+    order = _reference_param_order(config)
+    groups = [{
+        "lr": float(learning_rate),
+        "betas": tuple(config.betas),
+        "eps": float(config.eps),
+        "weight_decay": 0,
+        "amsgrad": False,
+        "maximize": False,
+        "foreach": None,
+        "capturable": False,
+        "differentiable": False,
+        "fused": None,
+        "params": list(range(len(order))),
+    }]
+
+    mu = nu = count = None
+    for st in opt_state or ():
+        fields = getattr(type(st), "_fields", ())
+        if "mu" in fields and "nu" in fields:
+            mu, nu, count = st.mu, st.nu, st.count
+    if mu is None:
+        return {"state": {}, "param_groups": groups}
+
+    mu_sd = export_torch_state_dict(
+        jax.tree_util.tree_map(np.asarray, mu), config
+    )
+    nu_sd = export_torch_state_dict(
+        jax.tree_util.tree_map(np.asarray, nu), config
+    )
+    step = torch.tensor(float(np.asarray(count)))
+    state = {
+        i: {
+            "step": step.clone(),
+            "exp_avg": torch.from_numpy(np.ascontiguousarray(mu_sd[name])),
+            "exp_avg_sq": torch.from_numpy(np.ascontiguousarray(nu_sd[name])),
+        }
+        for i, name in enumerate(order)
+    }
+    return {"state": state, "param_groups": groups}

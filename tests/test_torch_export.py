@@ -135,7 +135,10 @@ def test_export_cli_torch_format(tmp_path):
 
     loaded = torch.load(pth, map_location="cpu", weights_only=False)
     assert loaded["global_step"] == 42
-    assert loaded["optimizer"] is None
+    # weights-only export still carries a VALID (empty-state) Adam dict —
+    # the reference loads the optimizer unconditionally on resume
+    assert loaded["optimizer"]["state"] == {}
+    assert len(loaded["optimizer"]["param_groups"]) == 1
 
     back = load_checkpoint(pth, config, load_optimizer=False)
     assert back.global_step == 42
@@ -159,3 +162,92 @@ def test_save_torch_checkpoint_direct(tmp_path):
     assert any("cond_layer" in k for k in sd["model"])
     back = load_checkpoint(tmp_path / "g.pth", config, load_optimizer=False)
     _tree_equal(back.params, params, "multispeaker")
+
+
+@pytest.mark.parametrize(
+    "over",
+    [{}, {"n_speakers": 3, "gin_channels": 12}, {"mean_only": True},
+     {"prenet": False}],
+    ids=["base", "multispeaker", "mean_only", "no_prenet"],
+)
+def test_reference_param_order_matches_model(reference_models, over):  # noqa: F811
+    """_reference_param_order must equal the live reference model's
+    state_dict key order (== parameters() order == Adam state indices)."""
+    from glow_tts_train_tpu.checkpoint import _reference_param_order
+
+    config = tiny_config(**over)
+    ref, _ = build_pair(reference_models, config)
+    assert _reference_param_order(config) == list(ref.state_dict().keys())
+
+
+def test_optimizer_export_roundtrip_and_reference_resume(
+    reference_models, tmp_path  # noqa: F811
+):
+    """Adam moments survive ours -> torch -> ours bit-identically, and the
+    actual reference stack (model + torch Adam) resumes from the exported
+    .pth without error."""
+    import dataclasses
+
+    from glow_tts_train_tpu import training
+    from glow_tts_train_tpu.checkpoint import (
+        export_torch_opt_state,
+        import_torch_opt_state,
+    )
+    from helpers import random_batch
+
+    config = dataclasses.replace(
+        tiny_config(p_dropout=0.0, p_dropout_dec=0.0), warmup_steps=10
+    )
+    state = training.create_state(config, jax.random.PRNGKey(0))
+    step_fn = training.make_train_step(config, donate=False)
+    batch = random_batch(config, np.random.default_rng(5))
+    for i in range(3):
+        state, _ = step_fn(state, batch, jax.random.PRNGKey(i))
+
+    params = jax.tree_util.tree_map(np.asarray, state.params)
+    opt_sd = export_torch_opt_state(state.opt_state, params, config, 0.01)
+    model_sd = export_torch_state_dict(params, config)
+
+    # bit-exact moment roundtrip through the torch layout
+    back = import_torch_opt_state(
+        opt_sd,
+        {k: torch.from_numpy(np.ascontiguousarray(v))
+         for k, v in model_sd.items()},
+        config,
+        params,
+    )
+    assert back is not None
+
+    def adam_state(opt_state):
+        for st in opt_state:
+            if hasattr(st, "mu"):
+                return st
+        raise AssertionError("no adam state")
+
+    ours, theirs = adam_state(state.opt_state), adam_state(back)
+    _tree_equal(theirs.mu, jax.tree_util.tree_map(np.asarray, ours.mu), "mu")
+    _tree_equal(theirs.nu, jax.tree_util.tree_map(np.asarray, ours.nu), "nu")
+    assert int(theirs.count) == int(ours.count)
+
+    # the real reference stack resumes: strict model load + Adam
+    # load_state_dict + one optimization step
+    ckpt = Checkpoint(
+        params=params, opt_state=state.opt_state, learning_rate=0.01,
+        global_step=3, version=1,
+    )
+    save_torch_checkpoint(ckpt, config, tmp_path / "g.pth")
+    loaded = torch.load(
+        tmp_path / "g.pth", map_location="cpu", weights_only=False
+    )
+    ref, _ = build_pair(reference_models, config, seed=9)
+    res = ref.load_state_dict(loaded["model"], strict=True)
+    assert not res.missing_keys and not res.unexpected_keys
+    opt = torch.optim.Adam(
+        ref.parameters(), lr=loaded["learning_rate"],
+        betas=tuple(config.betas), eps=config.eps,
+    )
+    opt.load_state_dict(loaded["optimizer"])
+    ref.train()
+    loss = sum((p ** 2).sum() for p in ref.parameters())
+    loss.backward()
+    opt.step()  # applies the imported moments; crash-free is the contract
