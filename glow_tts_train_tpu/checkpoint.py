@@ -436,16 +436,22 @@ def import_torch_state_dict(sd: dict, config: TrainingConfig) -> Params:
 
     enc_layers = []
     for i in range(n_layers_enc):
+        attn = {
+            "q": _plain_conv(sd, f"encoder.encoder.attn_layers.{i}.conv_q"),
+            "k": _plain_conv(sd, f"encoder.encoder.attn_layers.{i}.conv_k"),
+            "v": _plain_conv(sd, f"encoder.encoder.attn_layers.{i}.conv_v"),
+            "o": _plain_conv(sd, f"encoder.encoder.attn_layers.{i}.conv_o"),
+        }
+        if m.window_size is not None:  # reference registers these only then
+            attn["emb_rel_k"] = _t(
+                sd[f"encoder.encoder.attn_layers.{i}.emb_rel_k"]
+            )
+            attn["emb_rel_v"] = _t(
+                sd[f"encoder.encoder.attn_layers.{i}.emb_rel_v"]
+            )
         enc_layers.append(
             {
-                "attn": {
-                    "q": _plain_conv(sd, f"encoder.encoder.attn_layers.{i}.conv_q"),
-                    "k": _plain_conv(sd, f"encoder.encoder.attn_layers.{i}.conv_k"),
-                    "v": _plain_conv(sd, f"encoder.encoder.attn_layers.{i}.conv_v"),
-                    "o": _plain_conv(sd, f"encoder.encoder.attn_layers.{i}.conv_o"),
-                    "emb_rel_k": _t(sd[f"encoder.encoder.attn_layers.{i}.emb_rel_k"]),
-                    "emb_rel_v": _t(sd[f"encoder.encoder.attn_layers.{i}.emb_rel_v"]),
-                },
+                "attn": attn,
                 "norm_1": _norm(sd, f"encoder.encoder.norm_layers_1.{i}"),
                 "ffn": {
                     "conv_1": _plain_conv(
@@ -661,8 +667,13 @@ def export_torch_state_dict(params: Params, config: TrainingConfig) -> dict:
             _emit_plain_conv(
                 sd, f"encoder.encoder.attn_layers.{i}.conv_{name}", at[name]
             )
-        sd[f"encoder.encoder.attn_layers.{i}.emb_rel_k"] = _np(at["emb_rel_k"])
-        sd[f"encoder.encoder.attn_layers.{i}.emb_rel_v"] = _np(at["emb_rel_v"])
+        if m.window_size is not None:  # mha_init only creates these then
+            sd[f"encoder.encoder.attn_layers.{i}.emb_rel_k"] = _np(
+                at["emb_rel_k"]
+            )
+            sd[f"encoder.encoder.attn_layers.{i}.emb_rel_v"] = _np(
+                at["emb_rel_v"]
+            )
         _emit_norm(sd, f"encoder.encoder.norm_layers_1.{i}", layer["norm_1"])
         _emit_plain_conv(
             sd, f"encoder.encoder.ffn_layers.{i}.conv_1", layer["ffn"]["conv_1"]
@@ -861,7 +872,10 @@ def export_torch_opt_state(
         fields = getattr(type(st), "_fields", ())
         if "mu" in fields and "nu" in fields:
             mu, nu, count = st.mu, st.nu, st.count
-    if mu is None:
+    if mu is None or int(np.asarray(count)) == 0:
+        # never-stepped state (e.g. a weights-only checkpoint loaded with a
+        # fresh tx.init) — torch's own convention for an unstepped Adam is
+        # an EMPTY state dict, and zeroed moments at step 0 are equivalent
         return {"state": {}, "param_groups": groups}
 
     mu_sd = export_torch_state_dict(

@@ -256,7 +256,11 @@ def main(argv=None):
     n_speakers = config.model.n_speakers
     speaker = validate_speaker(parser, n_speakers, args.speaker)
 
-    checkpoint = load_checkpoint(args.checkpoint, config, load_optimizer=False)
+    # torch export carries the Adam moments through to the .pth (resume-safe
+    # reverse migration); graph exports only need the weights
+    checkpoint = load_checkpoint(
+        args.checkpoint, config, load_optimizer=(args.format == "torch")
+    )
     _LOGGER.info(
         "Loaded checkpoint from %s (global step=%s)",
         args.checkpoint,

@@ -122,6 +122,9 @@ def hyper_from_config(config: TrainingConfig) -> GlowTTSHyper:
     m = config.model
     wn_impl = _resolve_wn_impl(getattr(config, "wn_impl", "auto"))
     remat = _resolve_remat(config.remat_blocks, wn_impl)
+    block_fuse = _resolve_block_fuse(
+        getattr(config, "flow_block_fuse", "auto"), wn_impl
+    )
     return GlowTTSHyper(
         n_vocab=m.num_symbols,
         hidden_channels=m.hidden_channels,
@@ -153,16 +156,11 @@ def hyper_from_config(config: TrainingConfig) -> GlowTTSHyper:
         remat_encoder=config.remat_encoder,
         wn_impl=wn_impl,
         wn_residuals=_resolve_wn_residuals(
-            getattr(config, "wn_residuals", "auto"), wn_impl, remat
+            getattr(config, "wn_residuals", "auto")
         ),
-        block_fuse=_resolve_block_fuse(
-            getattr(config, "flow_block_fuse", "auto"), wn_impl
-        ),
+        block_fuse=block_fuse,
         block_fuse_reverse=_resolve_block_fuse_reverse(
-            getattr(config, "flow_block_fuse_reverse", "auto"),
-            _resolve_block_fuse(
-                getattr(config, "flow_block_fuse", "auto"), wn_impl
-            ),
+            getattr(config, "flow_block_fuse_reverse", "auto"), block_fuse
         ),
         encoder_fuse=_resolve_encoder_fuse(
             getattr(config, "encoder_fuse", "auto"), wn_impl, m
@@ -189,7 +187,7 @@ def _resolve_remat(value, wn_impl: str):
     return "none" if wn_impl == "pallas" else True
 
 
-def _resolve_wn_residuals(value: str, wn_impl: str, remat) -> str:
+def _resolve_wn_residuals(value: str) -> str:
     """"auto" -> "recompute", the measured winner (v5e, b=192 base config,
     two interleaved passes: recompute 111.1 ms vs store 124.7 ms).  The
     in-kernel recompute overlaps its own DMA with the MXU walk, while

@@ -324,6 +324,10 @@ def encoder_apply(
     does dropout off-TPU (in-kernel dropout needs the TPU hardware PRNG
     — same policy as flows.decoder_fwd's block_fuse)."""
     use_rng = rng if rng is not None else jax.random.PRNGKey(0)
+    # validate remat up front — the fused path ignores it (the kernel's
+    # custom VJP subsumes remat) but an invalid value must fail on every
+    # backend, not only where fusing is off
+    assert remat in (True, False, "full", "dots", "none"), remat
 
     # dropout gating: the op-by-op path substitutes PRNGKey(0) when rng is
     # None, so a dropout-active call must NOT silently fuse to the
@@ -412,7 +416,6 @@ def encoder_apply(
         x = layer_norm(x + y, layer_params["norm_2"])
         return (x, i + 1), None
 
-    assert remat in (True, False, "full", "dots", "none"), remat
     if remat and remat != "none":
         policy = (
             jax.checkpoint_policies.dots_saveable if remat == "dots" else None

@@ -53,17 +53,12 @@ def _run_pair(tmp_path, mels_dir, extra=(), attempts=2):
             )
         if all(p.returncode == 0 for p in procs):
             return outs
-        # retryable: coordinator-port bind race (TOCTOU of port picking) or
-        # a barrier timeout (one process scheduled late under heavy machine
-        # contention and the other gave up waiting at the rendezvous)
-        transient = any(
-            "ddress" in out
-            or "bind" in out.lower()
-            or "barrier" in out.lower()
-            or "timed out task" in out.lower()
-            for out in outs
-        )
-        if not (transient and attempt + 1 < attempts):
+        # Any first-attempt failure retries once: the known-transient modes
+        # (coordinator-port bind race, rendezvous barrier timeout under
+        # machine contention) don't have stable message texts across jax
+        # versions, and a real bug still fails deterministically on the
+        # retry.  The last attempt asserts with the full process output.
+        if attempt + 1 >= attempts:
             for p, out in zip(procs, outs):
                 assert p.returncode == 0, out[-3000:]
     raise AssertionError("unreachable")

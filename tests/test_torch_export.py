@@ -52,16 +52,24 @@ def _tree_equal(a, b, msg=""):
         )
 
 
-@pytest.mark.parametrize("multi", [False, True], ids=["single", "multispeaker"])
-def test_state_dict_roundtrip_bijective(multi):
+@pytest.mark.parametrize(
+    "over",
+    [{}, {"n_speakers": 3, "gin_channels": 12}, {"window_size": None}],
+    ids=["single", "multispeaker", "no_window"],
+)
+def test_state_dict_roundtrip_bijective(over):
     """ours -> torch keys -> ours is bit-identical (incl. multispeaker
-    cond/emb_g), and torch -> ours -> torch covers every reference key."""
-    over = dict(n_speakers=3, gin_channels=12) if multi else {}
+    cond/emb_g; window_size=None has no emb_rel params at all), and
+    torch -> ours -> torch covers every reference key."""
     config = tiny_config(**over)
     params = jax.tree_util.tree_map(
         np.asarray, init_model(jax.random.PRNGKey(0), hyper_from_config(config))
     )
     sd = export_torch_state_dict(params, config)
+    if config.model.window_size is None:
+        # mha_init creates no rel-pos tables then; the export must not
+        # emit (or crash on) emb_rel keys the reference never registers
+        assert not any("emb_rel" in k for k in sd)
     back = import_torch_state_dict(
         {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()},
         config,
@@ -144,6 +152,54 @@ def test_export_cli_torch_format(tmp_path):
     assert back.global_step == 42
     assert abs(back.learning_rate - 0.125) < 1e-9
     _tree_equal(back.params, params, "cli roundtrip")
+
+
+def test_export_cli_torch_carries_adam_state(tmp_path):
+    """The CLI must load the optimizer for --format torch: a checkpoint
+    with real Adam moments exports a .pth whose optimizer state is
+    populated (regression: load_optimizer=False silently zeroed it)."""
+    import dataclasses
+
+    from glow_tts_train_tpu import training
+    from helpers import random_batch
+
+    config = dataclasses.replace(
+        tiny_config(p_dropout=0.0, p_dropout_dec=0.0), warmup_steps=10
+    )
+    state = training.create_state(config, jax.random.PRNGKey(0))
+    step_fn = training.make_train_step(config, donate=False)
+    state, _ = step_fn(
+        state, random_batch(config, np.random.default_rng(2)),
+        jax.random.PRNGKey(0),
+    )
+    ckpt = Checkpoint(
+        params=jax.tree_util.tree_map(np.asarray, state.params),
+        opt_state=state.opt_state, learning_rate=0.01, global_step=1,
+        version=1,
+    )
+    save_checkpoint(ckpt, tmp_path / "checkpoint_1.npz")
+    with open(tmp_path / "config.json", "w") as f:
+        config.save(f)
+
+    proc = subprocess.run(
+        [
+            sys.executable, "-m", "glow_tts_train_tpu.export",
+            str(tmp_path / "checkpoint_1.npz"), str(tmp_path / "out"),
+            "--config", str(tmp_path / "config.json"),
+            "--format", "torch", "--platform", "cpu",
+        ],
+        capture_output=True, text=True,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    loaded = torch.load(
+        tmp_path / "out" / "generator.pth", map_location="cpu",
+        weights_only=False,
+    )
+    n_params = len(loaded["model"])
+    assert len(loaded["optimizer"]["state"]) == n_params
+    st0 = loaded["optimizer"]["state"][0]
+    assert int(st0["step"]) == 1
+    assert float(np.abs(st0["exp_avg"].numpy()).sum()) > 0.0
 
 
 def test_save_torch_checkpoint_direct(tmp_path):

@@ -174,8 +174,8 @@ def test_auto_defaults_resolve_per_backend():
     assert _resolve_remat("dots", "pallas") == "dots"  # explicit wins
     assert _resolve_wn_impl("xla") == "xla"
     # measured winner (v5e b=192: 111.1 vs 124.7 ms) — recompute everywhere
-    assert _resolve_wn_residuals("auto", "pallas", "none") == "recompute"
-    assert _resolve_wn_residuals("store", "pallas", "none") == "store"
+    assert _resolve_wn_residuals("auto") == "recompute"
+    assert _resolve_wn_residuals("store") == "store"
 
 
 def test_decoder_roundtrip_with_fused_wn():
