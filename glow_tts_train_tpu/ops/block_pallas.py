@@ -245,93 +245,112 @@ def _flow_block_call(
     A, bA, W_s, b_s, W_e, b_e, W_in, b_in, W_rs, b_rs, x, x_mask, g_all,
     seed_f, *, st, interpret, with_grad=False, dz=None, dld=None,
 ):
-    b, t, c = x.shape
+    from .shardwrap import shard_per_sample
+
     L = st["n_layers"]
-    h = W_s.shape[1]
-    Kh = W_in.shape[1]
-    const, per_b = _specs()
 
-    in_specs = [
-        per_b((1, t, c)),        # x
-        per_b((1, t, 1)),        # mask
-        const((c, c)),           # A
-        const((1, c)),           # bA
-        const((c // 2, h)),      # W_start
-        const((1, h)),           # b_start
-        const((h, c)),           # W_end
-        const((1, c)),           # b_end
-        const((L, Kh, 2 * h)),   # W_in
-        const((L, 2 * h)),       # b_in
-        const((L, h, 2 * h)),    # W_rs
-        const((L, 2 * h)),       # b_rs
-        per_b((1, L, 2 * h)),    # g
-    ]
-    args = [x, x_mask, A, bA, W_s, b_s, W_e, b_e, W_in, b_in, W_rs, b_rs,
-            g_all]
+    def impl(seed_f, x, x_mask, A, bA, W_s, b_s, W_e, b_e, W_in, b_in,
+             W_rs, b_rs, g_all, *rest):
+        b, t, c = x.shape
+        h = W_s.shape[1]
+        Kh = W_in.shape[1]
+        const, per_b = _specs()
 
-    if not with_grad:
-        kernel = functools.partial(_block_fwd_kernel, st=st)
+        in_specs = [
+            per_b((1, t, c)),        # x
+            per_b((1, t, 1)),        # mask
+            const((c, c)),           # A
+            const((1, c)),           # bA
+            const((c // 2, h)),      # W_start
+            const((1, h)),           # b_start
+            const((h, c)),           # W_end
+            const((1, c)),           # b_end
+            const((L, Kh, 2 * h)),   # W_in
+            const((L, 2 * h)),       # b_in
+            const((L, h, 2 * h)),    # W_rs
+            const((L, 2 * h)),       # b_rs
+            per_b((1, L, 2 * h)),    # g
+        ]
+        args = [x, x_mask, A, bA, W_s, b_s, W_e, b_e, W_in, b_in, W_rs,
+                b_rs, g_all]
+
+        if not with_grad:
+            kernel = functools.partial(_block_fwd_kernel, st=st)
+            return pl.pallas_call(
+                kernel,
+                grid_spec=pltpu.PrefetchScalarGridSpec(
+                    num_scalar_prefetch=1,
+                    grid=(b,),
+                    in_specs=in_specs,
+                    out_specs=(per_b((1, t, c)), per_b((1, 8, 128))),
+                ),
+                out_shape=(
+                    jax.ShapeDtypeStruct((b, t, c), x.dtype),
+                    jax.ShapeDtypeStruct((b, 8, 128), jnp.float32),  # ld
+                ),
+                interpret=interpret,
+            )(seed_f, *args)
+
+        kernel = functools.partial(_block_bwd_kernel, st=st)
+        out_shapes = (
+            jax.ShapeDtypeStruct((b, t, c), x.dtype),           # dx
+            jax.ShapeDtypeStruct((c, c), jnp.float32),           # dA
+            jax.ShapeDtypeStruct((1, c), jnp.float32),           # dbA
+            jax.ShapeDtypeStruct((c // 2, h), jnp.float32),      # dW_start
+            jax.ShapeDtypeStruct((1, h), jnp.float32),           # db_start
+            jax.ShapeDtypeStruct((h, c), jnp.float32),           # dW_end
+            jax.ShapeDtypeStruct((1, c), jnp.float32),           # db_end
+            jax.ShapeDtypeStruct((L, Kh, 2 * h), jnp.float32),   # dW_in
+            jax.ShapeDtypeStruct((L, 2 * h), jnp.float32),       # db_in
+            jax.ShapeDtypeStruct((L, h, 2 * h), jnp.float32),    # dW_rs
+            jax.ShapeDtypeStruct((L, 2 * h), jnp.float32),       # db_rs
+            jax.ShapeDtypeStruct((b, L, 2 * h), jnp.float32),    # dg
+        )
+        out_specs = (
+            per_b((1, t, c)),
+            const((c, c)),
+            const((1, c)),
+            const((c // 2, h)),
+            const((1, h)),
+            const((h, c)),
+            const((1, c)),
+            const((L, Kh, 2 * h)),
+            const((L, 2 * h)),
+            const((L, h, 2 * h)),
+            const((L, 2 * h)),
+            per_b((1, L, 2 * h)),
+        )
         return pl.pallas_call(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
                 grid=(b,),
-                in_specs=in_specs,
-                out_specs=(per_b((1, t, c)), per_b((1, 8, 128))),
+                in_specs=in_specs + [per_b((1, t, c)), per_b((1, 8, 128))],
+                out_specs=out_specs,
+                scratch_shapes=[
+                    pltpu.VMEM((L, t, h), x.dtype),       # xs (layer inputs)
+                    pltpu.VMEM((L, t, h), x.dtype),       # tanh gate
+                    pltpu.VMEM((L, t, h), x.dtype),       # sigmoid gate
+                    pltpu.VMEM((L, t, 2 * h), x.dtype),   # dropout keep
+                ],
             ),
-            out_shape=(
-                jax.ShapeDtypeStruct((b, t, c), x.dtype),
-                jax.ShapeDtypeStruct((b, 8, 128), jnp.float32),  # ld tile
-            ),
+            out_shape=out_shapes,
             interpret=interpret,
-        )(seed_f, *args)
+        )(seed_f, *args, rest[0], rest[1])
 
-    kernel = functools.partial(_block_bwd_kernel, st=st)
-    out_shapes = (
-        jax.ShapeDtypeStruct((b, t, c), x.dtype),           # dx
-        jax.ShapeDtypeStruct((c, c), jnp.float32),           # dA
-        jax.ShapeDtypeStruct((1, c), jnp.float32),           # dbA
-        jax.ShapeDtypeStruct((c // 2, h), jnp.float32),      # dW_start
-        jax.ShapeDtypeStruct((1, h), jnp.float32),           # db_start
-        jax.ShapeDtypeStruct((h, c), jnp.float32),           # dW_end
-        jax.ShapeDtypeStruct((1, c), jnp.float32),           # db_end
-        jax.ShapeDtypeStruct((L, Kh, 2 * h), jnp.float32),   # dW_in
-        jax.ShapeDtypeStruct((L, 2 * h), jnp.float32),       # db_in
-        jax.ShapeDtypeStruct((L, h, 2 * h), jnp.float32),    # dW_rs
-        jax.ShapeDtypeStruct((L, 2 * h), jnp.float32),       # db_rs
-        jax.ShapeDtypeStruct((b, L, 2 * h), jnp.float32),    # dg
+    call_args = (seed_f, x, x_mask, A, bA, W_s, b_s, W_e, b_e, W_in, b_in,
+                 W_rs, b_rs, g_all)
+    in_dims = [None, 0, 0] + [None] * 10 + [0]
+    if not with_grad:
+        out_dims = (0, 0)
+    else:
+        call_args += (dz, dld)
+        in_dims += [0, 0]
+        out_dims = (0,) + (None,) * 10 + (0,)
+    return shard_per_sample(
+        impl, call_args, b=x.shape[0], in_dims=in_dims, out_dims=out_dims,
+        seed_arg=0,
     )
-    out_specs = (
-        per_b((1, t, c)),
-        const((c, c)),
-        const((1, c)),
-        const((c // 2, h)),
-        const((1, h)),
-        const((h, c)),
-        const((1, c)),
-        const((L, Kh, 2 * h)),
-        const((L, 2 * h)),
-        const((L, h, 2 * h)),
-        const((L, 2 * h)),
-        per_b((1, L, 2 * h)),
-    )
-    return pl.pallas_call(
-        kernel,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(b,),
-            in_specs=in_specs + [per_b((1, t, c)), per_b((1, 8, 128))],
-            out_specs=out_specs,
-            scratch_shapes=[
-                pltpu.VMEM((L, t, h), x.dtype),       # xs (layer inputs)
-                pltpu.VMEM((L, t, h), x.dtype),       # tanh gate
-                pltpu.VMEM((L, t, h), x.dtype),       # sigmoid gate
-                pltpu.VMEM((L, t, 2 * h), x.dtype),   # dropout keep (0/1)
-            ],
-        ),
-        out_shape=out_shapes,
-        interpret=interpret,
-    )(seed_f, *args, dz, dld)
 
 
 class _BlockKey(typing.NamedTuple):
@@ -475,8 +494,8 @@ def _make_block_inv_fn(key: "_BlockKey"):
     interpret = key.interpret
     st = dict(_st_from_key(key), interpret=interpret)
 
-    def f(A_inv, bA_inv, W_s, b_s, W_e, b_e, W_in, b_in, W_rs, b_rs, x,
-          x_mask, g_all, seed_f):
+    def impl(seed_f, x, x_mask, A_inv, bA_inv, W_s, b_s, W_e, b_e, W_in,
+             b_in, W_rs, b_rs, g_all):
         b, t, c = x.shape
         L = st["n_layers"]
         h = W_s.shape[1]
@@ -510,6 +529,20 @@ def _make_block_inv_fn(key: "_BlockKey"):
             interpret=interpret,
         )(seed_f, x, x_mask, A_inv, bA_inv, W_s, b_s, W_e, b_e, W_in, b_in,
           W_rs, b_rs, g_all)
+
+    def f(A_inv, bA_inv, W_s, b_s, W_e, b_e, W_in, b_in, W_rs, b_rs, x,
+          x_mask, g_all, seed_f):
+        from .shardwrap import shard_per_sample
+
+        return shard_per_sample(
+            impl,
+            (seed_f, x, x_mask, A_inv, bA_inv, W_s, b_s, W_e, b_e, W_in,
+             b_in, W_rs, b_rs, g_all),
+            b=x.shape[0],
+            in_dims=[None, 0, 0] + [None] * 10 + [0],
+            out_dims=0,
+            seed_arg=0,
+        )
 
     return f
 

@@ -383,87 +383,105 @@ def _bwd_kernel(seed_ref, x_ref, mask_ref, *rest, st):
 
 def _encoder_layer_call(weights, x, mask, seed_f, *, st, interpret,
                         with_grad=False, dout=None):
-    b, t, h = x.shape
-    m0 = weights[8].shape[0]  # rel table rows (2w+1)
-    f = weights[14].shape[1]
+    from .shardwrap import shard_per_sample
+
     K = len(st["offs"])
-    const, per_b = _specs()
 
-    w_specs = [
-        const((h, h)), const((1, h)),       # wq, bq
-        const((h, h)), const((1, h)),       # wk, bk
-        const((h, h)), const((1, h)),       # wv, bv
-        const((h, h)), const((1, h)),       # wo, bo
-        const((m0, h // st["n_heads"])),    # rel_k
-        const((m0, h // st["n_heads"])),    # rel_v
-        const((1, h)), const((1, h)),       # ln1 gamma/beta
-        const((1, h)), const((1, h)),       # ln2 gamma/beta
-        const((K * h, f)), const((1, f)),   # ffn W1, b1
-        const((K * f, h)), const((1, h)),   # ffn W2, b2
-    ]
-    in_specs = [per_b((1, t, h)), per_b((1, t, 1))] + w_specs
-    args = [x, mask, *weights]
+    def impl(seed_f, x, mask, *rest):
+        b, t, h = x.shape
+        weights = rest[:18]
+        m0 = weights[8].shape[0]  # rel table rows (2w+1)
+        f = weights[14].shape[1]
+        const, per_b = _specs()
 
-    if not with_grad:
-        kernel = functools.partial(_fwd_kernel, st=st)
+        w_specs = [
+            const((h, h)), const((1, h)),       # wq, bq
+            const((h, h)), const((1, h)),       # wk, bk
+            const((h, h)), const((1, h)),       # wv, bv
+            const((h, h)), const((1, h)),       # wo, bo
+            const((m0, h // st["n_heads"])),    # rel_k
+            const((m0, h // st["n_heads"])),    # rel_v
+            const((1, h)), const((1, h)),       # ln1 gamma/beta
+            const((1, h)), const((1, h)),       # ln2 gamma/beta
+            const((K * h, f)), const((1, f)),   # ffn W1, b1
+            const((K * f, h)), const((1, h)),   # ffn W2, b2
+        ]
+        in_specs = [per_b((1, t, h)), per_b((1, t, 1))] + w_specs
+        args = [x, mask, *weights]
+
+        if not with_grad:
+            kernel = functools.partial(_fwd_kernel, st=st)
+            return pl.pallas_call(
+                kernel,
+                grid_spec=pltpu.PrefetchScalarGridSpec(
+                    num_scalar_prefetch=1,
+                    grid=(b,),
+                    in_specs=in_specs,
+                    out_specs=per_b((1, t, h)),
+                ),
+                out_shape=jax.ShapeDtypeStruct((b, t, h), x.dtype),
+                interpret=interpret,
+            )(seed_f, *args)
+
+        kernel = functools.partial(_bwd_kernel, st=st)
+        d = h // st["n_heads"]
+        out_shapes = (
+            jax.ShapeDtypeStruct((b, t, h), x.dtype),        # dx
+            jax.ShapeDtypeStruct((h, h), jnp.float32),        # dwq
+            jax.ShapeDtypeStruct((1, h), jnp.float32),        # dbq
+            jax.ShapeDtypeStruct((h, h), jnp.float32),        # dwk
+            jax.ShapeDtypeStruct((1, h), jnp.float32),        # dbk
+            jax.ShapeDtypeStruct((h, h), jnp.float32),        # dwv
+            jax.ShapeDtypeStruct((1, h), jnp.float32),        # dbv
+            jax.ShapeDtypeStruct((h, h), jnp.float32),        # dwo
+            jax.ShapeDtypeStruct((1, h), jnp.float32),        # dbo
+            jax.ShapeDtypeStruct((m0, d), jnp.float32),       # drk
+            jax.ShapeDtypeStruct((m0, d), jnp.float32),       # drv
+            jax.ShapeDtypeStruct((1, h), jnp.float32),        # dg1
+            jax.ShapeDtypeStruct((1, h), jnp.float32),        # dbe1
+            jax.ShapeDtypeStruct((1, h), jnp.float32),        # dg2
+            jax.ShapeDtypeStruct((1, h), jnp.float32),        # dbe2
+            jax.ShapeDtypeStruct((K * h, f), jnp.float32),    # dw1
+            jax.ShapeDtypeStruct((1, f), jnp.float32),        # dc1
+            jax.ShapeDtypeStruct((K * f, h), jnp.float32),    # dw2
+            jax.ShapeDtypeStruct((1, h), jnp.float32),        # dc2
+        )
+        out_specs = (
+            per_b((1, t, h)),
+            const((h, h)), const((1, h)),
+            const((h, h)), const((1, h)),
+            const((h, h)), const((1, h)),
+            const((h, h)), const((1, h)),
+            const((m0, d)), const((m0, d)),
+            const((1, h)), const((1, h)),
+            const((1, h)), const((1, h)),
+            const((K * h, f)), const((1, f)),
+            const((K * f, h)), const((1, h)),
+        )
         return pl.pallas_call(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
                 grid=(b,),
-                in_specs=in_specs,
-                out_specs=per_b((1, t, h)),
+                in_specs=in_specs + [per_b((1, t, h))],
+                out_specs=out_specs,
             ),
-            out_shape=jax.ShapeDtypeStruct((b, t, h), x.dtype),
+            out_shape=out_shapes,
             interpret=interpret,
-        )(seed_f, *args)
+        )(seed_f, *args, rest[18])
 
-    kernel = functools.partial(_bwd_kernel, st=st)
-    d = h // st["n_heads"]
-    out_shapes = (
-        jax.ShapeDtypeStruct((b, t, h), x.dtype),        # dx
-        jax.ShapeDtypeStruct((h, h), jnp.float32),        # dwq
-        jax.ShapeDtypeStruct((1, h), jnp.float32),        # dbq
-        jax.ShapeDtypeStruct((h, h), jnp.float32),        # dwk
-        jax.ShapeDtypeStruct((1, h), jnp.float32),        # dbk
-        jax.ShapeDtypeStruct((h, h), jnp.float32),        # dwv
-        jax.ShapeDtypeStruct((1, h), jnp.float32),        # dbv
-        jax.ShapeDtypeStruct((h, h), jnp.float32),        # dwo
-        jax.ShapeDtypeStruct((1, h), jnp.float32),        # dbo
-        jax.ShapeDtypeStruct((m0, d), jnp.float32),       # drk
-        jax.ShapeDtypeStruct((m0, d), jnp.float32),       # drv
-        jax.ShapeDtypeStruct((1, h), jnp.float32),        # dg1
-        jax.ShapeDtypeStruct((1, h), jnp.float32),        # dbe1
-        jax.ShapeDtypeStruct((1, h), jnp.float32),        # dg2
-        jax.ShapeDtypeStruct((1, h), jnp.float32),        # dbe2
-        jax.ShapeDtypeStruct((K * h, f), jnp.float32),    # dw1
-        jax.ShapeDtypeStruct((1, f), jnp.float32),        # dc1
-        jax.ShapeDtypeStruct((K * f, h), jnp.float32),    # dw2
-        jax.ShapeDtypeStruct((1, h), jnp.float32),        # dc2
+    call_args = (seed_f, x, mask, *weights)
+    in_dims = [None, 0, 0] + [None] * 18
+    if not with_grad:
+        out_dims = 0
+    else:
+        call_args += (dout,)
+        in_dims.append(0)
+        out_dims = (0,) + (None,) * 18
+    return shard_per_sample(
+        impl, call_args, b=x.shape[0], in_dims=in_dims, out_dims=out_dims,
+        seed_arg=0,
     )
-    out_specs = (
-        per_b((1, t, h)),
-        const((h, h)), const((1, h)),
-        const((h, h)), const((1, h)),
-        const((h, h)), const((1, h)),
-        const((h, h)), const((1, h)),
-        const((m0, d)), const((m0, d)),
-        const((1, h)), const((1, h)),
-        const((1, h)), const((1, h)),
-        const((K * h, f)), const((1, f)),
-        const((K * f, h)), const((1, h)),
-    )
-    return pl.pallas_call(
-        kernel,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(b,),
-            in_specs=in_specs + [per_b((1, t, h))],
-            out_specs=out_specs,
-        ),
-        out_shape=out_shapes,
-        interpret=interpret,
-    )(seed_f, *args, dout)
 
 
 class _EncKey(typing.NamedTuple):

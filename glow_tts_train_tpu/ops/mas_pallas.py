@@ -105,7 +105,23 @@ def maximum_path_pallas(
 
     logp, mask: [b, t_x, t_y] -> 0/1 path [b, t_x, t_y] in logp's dtype.
     On non-TPU backends the kernel runs in interpreter mode (tests).
+    Under a multi-device mesh the whole call runs inside a batch-splitting
+    shard_map (Mosaic calls cannot be auto-partitioned; ops/shardwrap.py).
     """
+    from .shardwrap import shard_per_sample
+
+    return shard_per_sample(
+        lambda lp, mk: _maximum_path_pallas_local(lp, mk, interpret),
+        (logp, mask),
+        b=logp.shape[0],
+        in_dims=(0, 0),
+        out_dims=0,
+    )
+
+
+def _maximum_path_pallas_local(
+    logp: jnp.ndarray, mask: jnp.ndarray, interpret: bool = None
+) -> jnp.ndarray:
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 

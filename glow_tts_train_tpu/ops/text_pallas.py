@@ -285,116 +285,150 @@ def _st_from_key(key: "_TextKey") -> dict:
 
 def _prenet_call(weights, x, mask, seed_f, *, st, interpret,
                  with_grad=False, dout=None):
-    b, t, h = x.shape
+    from .shardwrap import shard_per_sample
+
     L = st["n_layers"]
     K = len(st["offs"])
-    const, per_b = _specs()
-    w_specs = [
-        const((L, K * h, h)), const((L, h)),    # conv w, b
-        const((L, h)), const((L, h)),           # ln gamma, beta
-        const((h, h)), const((1, h)),           # proj w, b
-    ]
-    in_specs = [per_b((1, t, h)), per_b((1, t, 1))] + w_specs
-    args = [x, mask, *weights]
 
-    if not with_grad:
+    def impl(seed_f, x, mask, *rest):
+        b, t, h = x.shape
+        const, per_b = _specs()
+        w_specs = [
+            const((L, K * h, h)), const((L, h)),    # conv w, b
+            const((L, h)), const((L, h)),           # ln gamma, beta
+            const((h, h)), const((1, h)),           # proj w, b
+        ]
+        in_specs = [per_b((1, t, h)), per_b((1, t, 1))] + w_specs
+        args = [x, mask, *rest[:6]]
+
+        if not with_grad:
+            return pl.pallas_call(
+                functools.partial(_prenet_fwd_kernel, st=st),
+                grid_spec=pltpu.PrefetchScalarGridSpec(
+                    num_scalar_prefetch=1,
+                    grid=(b,),
+                    in_specs=in_specs,
+                    out_specs=per_b((1, t, h)),
+                ),
+                out_shape=jax.ShapeDtypeStruct((b, t, h), x.dtype),
+                interpret=interpret,
+            )(seed_f, *args)
+
+        out_shapes = (
+            jax.ShapeDtypeStruct((b, t, h), x.dtype),
+            jax.ShapeDtypeStruct((L, K * h, h), jnp.float32),
+            jax.ShapeDtypeStruct((L, h), jnp.float32),
+            jax.ShapeDtypeStruct((L, h), jnp.float32),
+            jax.ShapeDtypeStruct((L, h), jnp.float32),
+            jax.ShapeDtypeStruct((h, h), jnp.float32),
+            jax.ShapeDtypeStruct((1, h), jnp.float32),
+        )
+        out_specs = (
+            per_b((1, t, h)),
+            const((L, K * h, h)), const((L, h)),
+            const((L, h)), const((L, h)),
+            const((h, h)), const((1, h)),
+        )
         return pl.pallas_call(
-            functools.partial(_prenet_fwd_kernel, st=st),
+            functools.partial(_prenet_bwd_kernel, st=st),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
                 grid=(b,),
-                in_specs=in_specs,
-                out_specs=per_b((1, t, h)),
+                in_specs=in_specs + [per_b((1, t, h))],
+                out_specs=out_specs,
             ),
-            out_shape=jax.ShapeDtypeStruct((b, t, h), x.dtype),
+            out_shape=out_shapes,
             interpret=interpret,
-        )(seed_f, *args)
+        )(seed_f, *args, rest[6])
 
-    out_shapes = (
-        jax.ShapeDtypeStruct((b, t, h), x.dtype),
-        jax.ShapeDtypeStruct((L, K * h, h), jnp.float32),
-        jax.ShapeDtypeStruct((L, h), jnp.float32),
-        jax.ShapeDtypeStruct((L, h), jnp.float32),
-        jax.ShapeDtypeStruct((L, h), jnp.float32),
-        jax.ShapeDtypeStruct((h, h), jnp.float32),
-        jax.ShapeDtypeStruct((1, h), jnp.float32),
+    call_args = (seed_f, x, mask, *weights)
+    in_dims = [None, 0, 0] + [None] * 6
+    if not with_grad:
+        out_dims = 0
+    else:
+        call_args += (dout,)
+        in_dims.append(0)
+        out_dims = (0,) + (None,) * 6
+    return shard_per_sample(
+        impl, call_args, b=x.shape[0], in_dims=in_dims, out_dims=out_dims,
+        seed_arg=0,
     )
-    out_specs = (
-        per_b((1, t, h)),
-        const((L, K * h, h)), const((L, h)),
-        const((L, h)), const((L, h)),
-        const((h, h)), const((1, h)),
-    )
-    return pl.pallas_call(
-        functools.partial(_prenet_bwd_kernel, st=st),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(b,),
-            in_specs=in_specs + [per_b((1, t, h))],
-            out_specs=out_specs,
-        ),
-        out_shape=out_shapes,
-        interpret=interpret,
-    )(seed_f, *args, dout)
 
 
 def _dp_call(weights, x, mask, seed_f, *, st, interpret,
              with_grad=False, dout=None):
-    b, t, c = x.shape
-    K = len(st["offs"])
-    f = weights[0].shape[1]
-    const, per_b = _specs()
-    w_specs = [
-        const((K * c, f)), const((1, f)),   # conv_1 w, b
-        const((1, f)), const((1, f)),       # norm_1 gamma, beta
-        const((K * f, f)), const((1, f)),   # conv_2 w, b
-        const((1, f)), const((1, f)),       # norm_2 gamma, beta
-    ]
-    in_specs = [per_b((1, t, c)), per_b((1, t, 1))] + w_specs
-    args = [x, mask, *weights]
+    from .shardwrap import shard_per_sample
 
-    if not with_grad:
+    K = len(st["offs"])
+
+    def impl(seed_f, x, mask, *rest):
+        b, t, c = x.shape
+        f = rest[0].shape[1]
+        const, per_b = _specs()
+        w_specs = [
+            const((K * c, f)), const((1, f)),   # conv_1 w, b
+            const((1, f)), const((1, f)),       # norm_1 gamma, beta
+            const((K * f, f)), const((1, f)),   # conv_2 w, b
+            const((1, f)), const((1, f)),       # norm_2 gamma, beta
+        ]
+        in_specs = [per_b((1, t, c)), per_b((1, t, 1))] + w_specs
+        args = [x, mask, *rest[:8]]
+
+        if not with_grad:
+            return pl.pallas_call(
+                functools.partial(_dp_fwd_kernel, st=st),
+                grid_spec=pltpu.PrefetchScalarGridSpec(
+                    num_scalar_prefetch=1,
+                    grid=(b,),
+                    in_specs=in_specs,
+                    out_specs=per_b((1, t, f)),
+                ),
+                out_shape=jax.ShapeDtypeStruct((b, t, f), x.dtype),
+                interpret=interpret,
+            )(seed_f, *args)
+
+        out_shapes = (
+            jax.ShapeDtypeStruct((b, t, c), x.dtype),
+            jax.ShapeDtypeStruct((K * c, f), jnp.float32),
+            jax.ShapeDtypeStruct((1, f), jnp.float32),
+            jax.ShapeDtypeStruct((1, f), jnp.float32),
+            jax.ShapeDtypeStruct((1, f), jnp.float32),
+            jax.ShapeDtypeStruct((K * f, f), jnp.float32),
+            jax.ShapeDtypeStruct((1, f), jnp.float32),
+            jax.ShapeDtypeStruct((1, f), jnp.float32),
+            jax.ShapeDtypeStruct((1, f), jnp.float32),
+        )
+        out_specs = (
+            per_b((1, t, c)),
+            const((K * c, f)), const((1, f)),
+            const((1, f)), const((1, f)),
+            const((K * f, f)), const((1, f)),
+            const((1, f)), const((1, f)),
+        )
         return pl.pallas_call(
-            functools.partial(_dp_fwd_kernel, st=st),
+            functools.partial(_dp_bwd_kernel, st=st),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
                 grid=(b,),
-                in_specs=in_specs,
-                out_specs=per_b((1, t, f)),
+                in_specs=in_specs + [per_b((1, t, f))],
+                out_specs=out_specs,
             ),
-            out_shape=jax.ShapeDtypeStruct((b, t, f), x.dtype),
+            out_shape=out_shapes,
             interpret=interpret,
-        )(seed_f, *args)
+        )(seed_f, *args, rest[8])
 
-    out_shapes = (
-        jax.ShapeDtypeStruct((b, t, c), x.dtype),
-        jax.ShapeDtypeStruct((K * c, f), jnp.float32),
-        jax.ShapeDtypeStruct((1, f), jnp.float32),
-        jax.ShapeDtypeStruct((1, f), jnp.float32),
-        jax.ShapeDtypeStruct((1, f), jnp.float32),
-        jax.ShapeDtypeStruct((K * f, f), jnp.float32),
-        jax.ShapeDtypeStruct((1, f), jnp.float32),
-        jax.ShapeDtypeStruct((1, f), jnp.float32),
-        jax.ShapeDtypeStruct((1, f), jnp.float32),
+    call_args = (seed_f, x, mask, *weights)
+    in_dims = [None, 0, 0] + [None] * 8
+    if not with_grad:
+        out_dims = 0
+    else:
+        call_args += (dout,)
+        in_dims.append(0)
+        out_dims = (0,) + (None,) * 8
+    return shard_per_sample(
+        impl, call_args, b=x.shape[0], in_dims=in_dims, out_dims=out_dims,
+        seed_arg=0,
     )
-    out_specs = (
-        per_b((1, t, c)),
-        const((K * c, f)), const((1, f)),
-        const((1, f)), const((1, f)),
-        const((K * f, f)), const((1, f)),
-        const((1, f)), const((1, f)),
-    )
-    return pl.pallas_call(
-        functools.partial(_dp_bwd_kernel, st=st),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(b,),
-            in_specs=in_specs + [per_b((1, t, f))],
-            out_specs=out_specs,
-        ),
-        out_shape=out_shapes,
-        interpret=interpret,
-    )(seed_f, *args, dout)
 
 
 def _make_stack_fn(key: "_TextKey", call):

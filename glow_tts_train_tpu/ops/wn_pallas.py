@@ -382,106 +382,142 @@ def _wn_pallas_call(
 ):
     """``mode``: "fwd" (plain forward), "fwd_save" (forward + HBM residuals),
     "bwd" (recompute-in-kernel backward).  Residual-store backward has its
-    own entry point, ``_wn_bwd_store_call``."""
-    b, t, h = x.shape
+    own entry point, ``_wn_bwd_store_call``.
+
+    Under a multi-device mesh the call runs inside a batch-splitting
+    shard_map (ops/shardwrap.py) — ``impl`` derives every shape from its
+    (local) operands."""
+    from .shardwrap import shard_per_sample
+
     L = st["n_layers"]
-    const, per_b = _specs()
-    Kh = W_in.shape[1]
-    in_specs = [
-        per_b((1, t, h)),        # x
-        per_b((1, t, 1)),        # mask
-        const((L, Kh, 2 * h)),   # W_in
-        const((L, 2 * h)),       # b_in
-        const((L, h, 2 * h)),    # W_rs
-        const((L, 2 * h)),       # b_rs
-        per_b((1, L, 2 * h)),    # g
-    ]
-    args = [x, x_mask, W_in, b_in, W_rs, b_rs, g_all]
 
+    def impl(seed_f, x, x_mask, W_in, b_in, W_rs, b_rs, g_all, *rest):
+        b, t, h = x.shape
+        const, per_b = _specs()
+        Kh = W_in.shape[1]
+        in_specs = [
+            per_b((1, t, h)),        # x
+            per_b((1, t, 1)),        # mask
+            const((L, Kh, 2 * h)),   # W_in
+            const((L, 2 * h)),       # b_in
+            const((L, h, 2 * h)),    # W_rs
+            const((L, 2 * h)),       # b_rs
+            per_b((1, L, 2 * h)),    # g
+        ]
+        args = [x, x_mask, W_in, b_in, W_rs, b_rs, g_all]
+
+        if mode == "fwd":
+            kernel = functools.partial(_fwd_kernel, st=st)
+            return pl.pallas_call(
+                kernel,
+                grid_spec=pltpu.PrefetchScalarGridSpec(
+                    num_scalar_prefetch=1,
+                    grid=(b,),
+                    in_specs=in_specs,
+                    out_specs=per_b((1, t, h)),
+                ),
+                out_shape=jax.ShapeDtypeStruct((b, t, h), x.dtype),
+                interpret=interpret,
+            )(seed_f, *args)
+
+        if mode == "fwd_save":
+            kernel = functools.partial(_fwd_save_kernel, st=st)
+            res = per_b((1, L, t, h))
+            return pl.pallas_call(
+                kernel,
+                grid_spec=pltpu.PrefetchScalarGridSpec(
+                    num_scalar_prefetch=1,
+                    grid=(b,),
+                    in_specs=in_specs,
+                    out_specs=(per_b((1, t, h)), res, res, res),
+                ),
+                out_shape=(
+                    jax.ShapeDtypeStruct((b, t, h), x.dtype),
+                    jax.ShapeDtypeStruct((b, L, t, h), x.dtype),  # xs
+                    jax.ShapeDtypeStruct((b, L, t, h), x.dtype),  # tanh
+                    jax.ShapeDtypeStruct((b, L, t, h), x.dtype),  # sigmoid
+                ),
+                interpret=interpret,
+            )(seed_f, *args)
+
+        assert mode == "bwd", mode
+        kernel = functools.partial(_bwd_kernel, st=st)
+        out_shapes, out_specs = _grad_out_shapes(b, t, h, L, Kh, x.dtype)
+        return pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(b,),
+                in_specs=in_specs + [per_b((1, t, h))],  # + dout
+                out_specs=out_specs,
+                scratch_shapes=[
+                    pltpu.VMEM((L, t, h), x.dtype),       # xs (layer inputs)
+                    pltpu.VMEM((L, t, h), x.dtype),       # tanh gate
+                    pltpu.VMEM((L, t, h), x.dtype),       # sigmoid gate
+                    pltpu.VMEM((L, t, 2 * h), x.dtype),   # dropout keep
+                ],
+            ),
+            out_shape=out_shapes,
+            interpret=interpret,
+        )(seed_f, *args, rest[0])
+
+    call_args = (seed_f, x, x_mask, W_in, b_in, W_rs, b_rs, g_all)
+    in_dims = [None, 0, 0, None, None, None, None, 0]
     if mode == "fwd":
-        kernel = functools.partial(_fwd_kernel, st=st)
-        return pl.pallas_call(
-            kernel,
-            grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=1,
-                grid=(b,),
-                in_specs=in_specs,
-                out_specs=per_b((1, t, h)),
-            ),
-            out_shape=jax.ShapeDtypeStruct((b, t, h), x.dtype),
-            interpret=interpret,
-        )(seed_f, *args)
-
-    if mode == "fwd_save":
-        kernel = functools.partial(_fwd_save_kernel, st=st)
-        res = per_b((1, L, t, h))
-        return pl.pallas_call(
-            kernel,
-            grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=1,
-                grid=(b,),
-                in_specs=in_specs,
-                out_specs=(per_b((1, t, h)), res, res, res),
-            ),
-            out_shape=(
-                jax.ShapeDtypeStruct((b, t, h), x.dtype),
-                jax.ShapeDtypeStruct((b, L, t, h), x.dtype),  # xs
-                jax.ShapeDtypeStruct((b, L, t, h), x.dtype),  # tanh gate
-                jax.ShapeDtypeStruct((b, L, t, h), x.dtype),  # sigmoid gate
-            ),
-            interpret=interpret,
-        )(seed_f, *args)
-
-    assert mode == "bwd", mode
-    kernel = functools.partial(_bwd_kernel, st=st)
-    out_shapes, out_specs = _grad_out_shapes(b, t, h, L, Kh, x.dtype)
-    return pl.pallas_call(
-        kernel,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(b,),
-            in_specs=in_specs + [per_b((1, t, h))],  # + dout
-            out_specs=out_specs,
-            scratch_shapes=[
-                pltpu.VMEM((L, t, h), x.dtype),       # xs (layer inputs)
-                pltpu.VMEM((L, t, h), x.dtype),       # tanh gate
-                pltpu.VMEM((L, t, h), x.dtype),       # sigmoid gate
-                pltpu.VMEM((L, t, 2 * h), x.dtype),   # dropout keep (0/1)
-            ],
-        ),
-        out_shape=out_shapes,
-        interpret=interpret,
-    )(seed_f, *args, dout)
+        out_dims = 0
+    elif mode == "fwd_save":
+        out_dims = (0, 0, 0, 0)
+    else:
+        call_args += (dout,)
+        in_dims.append(0)
+        # dx, dW_in, db_in, dW_rs, db_rs, dg
+        out_dims = (0, None, None, None, None, 0)
+    return shard_per_sample(
+        impl, call_args, b=x.shape[0], in_dims=in_dims, out_dims=out_dims,
+        seed_arg=0,
+    )
 
 
 def _wn_bwd_store_call(
     W_in, W_rs, x_mask, xs, th, sg, dout, seed_f, *, st, interpret
 ):
     """Backward pallas_call for residual-store mode."""
-    b, L, t, h = xs.shape
-    Kh = W_in.shape[1]
-    const, per_b = _specs()
-    res = per_b((1, L, t, h))
-    in_specs = [
-        per_b((1, t, 1)),        # mask
-        const((L, Kh, 2 * h)),   # W_in
-        const((L, h, 2 * h)),    # W_rs
-        res, res, res,           # xs, th, sg
-        per_b((1, t, h)),        # dout
-    ]
-    out_shapes, out_specs = _grad_out_shapes(b, t, h, L, Kh, xs.dtype)
-    kernel = functools.partial(_bwd_store_kernel, st=st)
-    return pl.pallas_call(
-        kernel,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(b,),
-            in_specs=in_specs,
-            out_specs=out_specs,
-        ),
-        out_shape=out_shapes,
-        interpret=interpret,
-    )(seed_f, x_mask, W_in, W_rs, xs, th, sg, dout)
+    from .shardwrap import shard_per_sample
+
+    def impl(seed_f, x_mask, W_in, W_rs, xs, th, sg, dout):
+        b, L, t, h = xs.shape
+        Kh = W_in.shape[1]
+        const, per_b = _specs()
+        res = per_b((1, L, t, h))
+        in_specs = [
+            per_b((1, t, 1)),        # mask
+            const((L, Kh, 2 * h)),   # W_in
+            const((L, h, 2 * h)),    # W_rs
+            res, res, res,           # xs, th, sg
+            per_b((1, t, h)),        # dout
+        ]
+        out_shapes, out_specs = _grad_out_shapes(b, t, h, L, Kh, xs.dtype)
+        kernel = functools.partial(_bwd_store_kernel, st=st)
+        return pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(b,),
+                in_specs=in_specs,
+                out_specs=out_specs,
+            ),
+            out_shape=out_shapes,
+            interpret=interpret,
+        )(seed_f, x_mask, W_in, W_rs, xs, th, sg, dout)
+
+    return shard_per_sample(
+        impl,
+        (seed_f, x_mask, W_in, W_rs, xs, th, sg, dout),
+        b=xs.shape[0],
+        in_dims=[None, 0, None, None, 0, 0, 0, 0],
+        out_dims=(0, None, None, None, None, 0),
+        seed_arg=0,
+    )
 
 
 def wn_stack_fused(

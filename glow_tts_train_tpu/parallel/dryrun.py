@@ -104,6 +104,35 @@ def run(n_devices: int) -> None:
             f"OK loss={loss_tp:.4f}"
         )
 
+    # Fused-kernel path under the mesh: on a real pod the Pallas kernels
+    # run inside shardwrap's batch-splitting shard_map (GSPMD cannot
+    # auto-partition Mosaic calls).  Force every fusion on (interpret mode
+    # off-TPU — same shard_map plumbing, pure-JAX kernel body) and run one
+    # DP step to prove the integrated path compiles and executes.
+    import dataclasses
+
+    config_k = dataclasses.replace(
+        config,
+        wn_impl="pallas",
+        flow_block_fuse=True,
+        encoder_fuse=True,
+    )
+    state3 = create_state(config_k, jax.random.PRNGKey(0))
+    step3 = make_train_step(config_k, mesh=mesh, donate=False)
+    state3, metrics3 = step3(
+        state3, shard_batch(batch, mesh, config_k.mesh_axis),
+        jax.random.PRNGKey(1),
+    )
+    loss_k = float(metrics3["loss"])
+    # no equality check vs the op-by-op loss: in-kernel dropout draws a
+    # different (equally valid) stream; tests/test_kernel_mesh.py proves
+    # numerical equality with dropout off
+    assert np.isfinite(loss_k), f"non-finite fused-kernel loss {loss_k}"
+    print(
+        f"dryrun_multichip({n_devices}): fused kernels under shard_map "
+        f"OK loss={loss_k:.4f}"
+    )
+
 
 if __name__ == "__main__":
     import sys

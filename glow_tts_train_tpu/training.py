@@ -202,12 +202,28 @@ def make_train_step(
             "tensor-parallel mesh needs a state example to derive shardings"
         )
         state_sh = train_state_shardings(state, mesh)
-    return jax.jit(
+    jitted = jax.jit(
         step_fn,
         in_shardings=(state_sh, data, repl),
         out_shardings=(state_sh, repl),
         donate_argnums=(0,) if donate else (),
     )
+
+    # trace under set_mesh so the Pallas call sites can see the mesh
+    # (jax.sharding.get_abstract_mesh) and wrap themselves in the
+    # batch-splitting shard_map — GSPMD cannot auto-partition Mosaic
+    # kernels (ops/shardwrap.py)
+    def meshed_step(state, batch, rng):
+        with jax.sharding.set_mesh(mesh):
+            return jitted(state, batch, rng)
+
+    def meshed_lower(*a, **k):
+        with jax.sharding.set_mesh(mesh):
+            return jitted.lower(*a, **k)
+
+    # expose the underlying jit's AOT API (used by _precompile)
+    meshed_step.lower = meshed_lower  # type: ignore[attr-defined]
+    return meshed_step
 
 
 def initialize_model(
