@@ -129,6 +129,14 @@ class TrainingConfig:
     bucket_size_mel: int = 128
     # Data-parallel mesh axis name.
     mesh_axis: str = "data"
+    # Gradient accumulation: split each batch into N microbatches inside
+    # the jitted step (lax.scan) and sum their gradients before the
+    # optimizer update.  Trains effective batches larger than HBM allows.
+    # EXACT: microbatch losses are re-weighted by their frame counts over
+    # the whole-batch denominators, so accumulated gradients equal the
+    # full-batch gradients to float round-off (tests/test_grad_accum.py);
+    # dropout draws per-microbatch streams.  batch_size must divide by it.
+    grad_accum_steps: int = 1
     # Iterate encoder layers / flow blocks as an unrolled Python loop (True)
     # or a lax.scan (False).  Round-2 A/B on v5e with RPC-jitter-immune
     # timing: unroll is 10-15% SLOWER (34.2 vs 29.8 ms/step at b=32) and

@@ -24,6 +24,7 @@ from pathlib import Path
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from .config import TrainingConfig
@@ -180,10 +181,78 @@ def make_train_step(
         loss = l_mle + l_length
         return loss, {"loss": loss, "mle_loss": l_mle, "duration_loss": l_length}
 
-    def step_fn(state: TrainState, batch, rng):
-        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch, rng
+    accum = max(1, int(getattr(config, "grad_accum_steps", 1) or 1))
+
+    def accum_grads(params, batch, rng):
+        """Gradient accumulation over ``accum`` microbatches (lax.scan).
+
+        EXACT: both losses are ratio-normalized (num/den with den a pure
+        function of the lengths), so each microbatch contributes
+        num_i / D with D the WHOLE-batch denominator — the summed
+        gradients equal the full-batch gradients to float round-off.
+        mle den = c·Σ(y_len//n_sqz·n_sqz) (== Σ z_mask · z_channels after
+        the squeeze), duration den = Σ x_len (losses.py:26,34)."""
+        b = batch["x"].shape[0]
+        assert b % accum == 0, (
+            f"batch_size {b} must divide by grad_accum_steps {accum}"
         )
+        mb = b // accum
+        n_sqz = config.model.n_sqz
+        c = config.audio.mel_channels
+        half_log_2pi = 0.5 * float(np.log(2.0 * np.pi))
+
+        def den_mle(y_lengths):
+            adj = (y_lengths // n_sqz) * n_sqz
+            return jnp.sum(adj.astype(jnp.float32)) * c
+
+        def den_dur(x_lengths):
+            return jnp.sum(x_lengths.astype(jnp.float32))
+
+        D_mle = den_mle(batch["y_lengths"])
+        D_dur = den_dur(batch["x_lengths"])
+        micro = {
+            k: v.reshape((accum, mb) + v.shape[1:]) for k, v in batch.items()
+        }
+
+        def scaled_loss(params, mbatch, mrng):
+            loss_i, m = loss_fn(params, mbatch, mrng)
+            num_mle = (m["mle_loss"] - half_log_2pi) * den_mle(
+                mbatch["y_lengths"]
+            )
+            num_dur = m["duration_loss"] * den_dur(mbatch["x_lengths"])
+            del loss_i
+            return num_mle / D_mle + num_dur / D_dur, (num_mle, num_dur)
+
+        def body(carry, mbatch):
+            grads_acc, nm, nd, i = carry
+            (_, (num_mle, num_dur)), g = jax.value_and_grad(
+                scaled_loss, has_aux=True
+            )(params, mbatch, jax.random.fold_in(rng, i))
+            grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, g)
+            return (grads_acc, nm + num_mle, nd + num_dur, i + 1), None
+
+        zeros = jax.tree_util.tree_map(
+            lambda p: jnp.zeros(p.shape, p.dtype), params
+        )
+        (grads, nm, nd, _), _ = jax.lax.scan(
+            body, (zeros, jnp.float32(0), jnp.float32(0), jnp.int32(0)), micro
+        )
+        l_mle = nm / D_mle + half_log_2pi
+        l_dur = nd / D_dur
+        metrics = {
+            "loss": l_mle + l_dur,
+            "mle_loss": l_mle,
+            "duration_loss": l_dur,
+        }
+        return grads, metrics
+
+    def step_fn(state: TrainState, batch, rng):
+        if accum == 1:
+            (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, batch, rng
+            )
+        else:
+            grads, metrics = accum_grads(state.params, batch, rng)
         metrics["grad_norm"] = optax.global_norm(grads)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
