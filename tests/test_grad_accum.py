@@ -70,6 +70,32 @@ def test_indivisible_batch_rejected():
         step(state, batch, jax.random.PRNGKey(0))
 
 
+def test_accum_under_mesh_matches_meshless():
+    """accum=2 on the 8-device mesh: the (accum, mb, ...) reshape of the
+    data-sharded batch must compile (GSPMD reshards), and the result must
+    match the meshless accumulated step."""
+    from jax.sharding import Mesh
+
+    from glow_tts_train_tpu.parallel import shard_batch
+
+    config = _config(grad_accum_steps=2)
+    config.batch_size = 8
+    batch = random_batch(config, np.random.default_rng(6), b=8)
+    state = training.create_state(config, jax.random.PRNGKey(0))
+    rng = jax.random.PRNGKey(5)
+
+    ref_step = training.make_train_step(config, donate=False)
+    _, ref_metrics = ref_step(state, batch, rng)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    state2 = training.create_state(config, jax.random.PRNGKey(0))
+    step = training.make_train_step(config, mesh=mesh, donate=False)
+    _, metrics = step(state2, shard_batch(batch, mesh, config.mesh_axis), rng)
+    np.testing.assert_allclose(
+        float(metrics["loss"]), float(ref_metrics["loss"]), rtol=3e-4
+    )
+
+
 def test_accum_with_dropout_trains():
     """Dropout draws a distinct stream per microbatch — not comparable to
     the full-batch step, but the step must run and produce finite loss."""
