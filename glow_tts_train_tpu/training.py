@@ -407,6 +407,27 @@ def train(
             step_fn, state, config, mesh, base_rng, precompile_shapes
         )
 
+    if jax.process_count() > 1:
+        # Rendezvous AFTER the (skew-prone) compiles and BEFORE the first
+        # collective execution: XLA's Gloo key-value handshake has a hard
+        # 30 s timeout, and under load one process can compile that much
+        # later than its peer — the barrier re-synchronizes them so the
+        # first collective's context init starts simultaneously.
+        # jax exposes no public KV-store barrier (multihost_utils.sync_
+        # global_devices is collective-based, i.e. it IS a first collective
+        # and would hit the same handshake timeout); degrade to a no-op if
+        # the private module moves rather than failing multi-host training.
+        try:
+            from jax._src import distributed
+
+            client = distributed.global_state.client
+        except (ImportError, AttributeError):  # pragma: no cover
+            client = None
+        if client is not None:
+            client.wait_at_barrier(
+                "glow_tts_pre_train_barrier", timeout_in_ms=600_000
+            )
+
     # host-side step counter: int(state.step) would block on the in-flight
     # device step every iteration, serializing dispatch against data prep
     step = int(state.step)
