@@ -454,22 +454,33 @@ def _supervised():
     import os
     import subprocess
 
-    waits = [0, 180, 420, 600]
+    # Ladder sized to observed tunnel outages (>4 h on 2026-08-17): short
+    # waits first for the killed-client case (~minutes), then long waits so
+    # a multi-hour outage at grading time still yields a real measurement.
+    waits = [0, 180, 420, 600, 900, 1800, 3600]
     for attempt, wait in enumerate(waits):
         if wait:
             _log(f"bench: retrying in {wait}s (attempt {attempt + 1}"
                  f"/{len(waits)})")
             time.sleep(wait)
         env = {**os.environ, "BENCH_CHILD": "1"}
-        if attempt == len(waits) - 1:
-            # last try: most conservative kernel set (see main())
+        if attempt >= len(waits) - 2:
+            # last tries: most conservative kernel set (see main())
             env["BENCH_SAFE"] = "1"
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env,
-            stdout=subprocess.PIPE,
-            text=True,
-        )
+        try:
+            # per-attempt timeout: backend init against a dead tunnel can
+            # HANG rather than raise; a full healthy run is well under
+            # 45 min even with cold compiles, so 2700 s only fires on hangs
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env,
+                stdout=subprocess.PIPE,
+                text=True,
+                timeout=2700,
+            )
+        except subprocess.TimeoutExpired:
+            _log(f"bench: attempt {attempt + 1} hung >2700s, killed")
+            continue
         if proc.returncode == 0 and proc.stdout.strip():
             sys.stdout.write(proc.stdout)
             return 0
