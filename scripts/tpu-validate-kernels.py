@@ -18,6 +18,10 @@ import os
 import subprocess
 import sys
 
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)  # __graft_entry__/bench live at the repo root
+os.chdir(REPO)
+
 
 def run_tests():
     print("== TPU in-kernel dropout tests ==", flush=True)
@@ -71,5 +75,6 @@ if __name__ == "__main__":
     rc = 0
     if "--skip-tests" not in sys.argv:
         rc = run_tests()
-    run_ab()
+    if "--skip-ab" not in sys.argv:
+        run_ab()
     sys.exit(rc)

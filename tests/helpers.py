@@ -5,6 +5,62 @@ import numpy as np
 from glow_tts_train_tpu.config import AudioConfig, ModelConfig, TrainingConfig
 
 
+def fd_directional_grad_check(
+    loss_fn, params, n_dirs=3, eps_ladder=(3e-2, 1e-2, 3e-3, 1e-3),
+    rtol=2.5e-2, seed=0,
+):
+    """Central-difference check of a custom-VJP gradient on the REAL kernel
+    path (usable where an autodiff oracle cannot run, e.g. the TPU hardware
+    PRNG: dropout masks depend only on (seed, site), never on weights, so
+    both FD evaluations see identical masks and the difference quotient is
+    exact up to curvature).  ``loss_fn`` must be deterministic given params.
+
+    Directions are the normalized gradient itself plus gradient+noise
+    mixes — along a RANDOM direction the analytic derivative is only
+    ~|g|/sqrt(n_params), drowned by FD noise (fp32 loss round-off/2eps +
+    ReLU kink crossings, measured ~0.05-0.15 absolute on v5e at these
+    scales), while along the gradient the signal is |g| itself.  A real
+    backward bug (wrong PRNG replay between forward and backward, missing
+    term, sign) misdirects a macroscopic fraction of the gradient mass and
+    fails the relative check at every eps; any eps in the ladder may pass.
+    """
+    import jax
+    import jax.flatten_util as fu
+    import jax.numpy as jnp
+
+    flat_p, unravel = fu.ravel_pytree(params)
+    g = jax.grad(loss_fn)(params)
+    flat_g, _ = fu.ravel_pytree(g)
+    gdir = np.asarray(flat_g, np.float64)
+    gnorm = np.linalg.norm(gdir)
+    assert gnorm > 0.0, "zero gradient — nothing to check"
+    gdir /= gnorm
+    rng = np.random.default_rng(seed)
+    for i in range(n_dirs):
+        if i == 0:
+            d = gdir
+        else:
+            r = rng.standard_normal(flat_p.shape)
+            r /= np.linalg.norm(r)
+            d = gdir + r
+            d /= np.linalg.norm(d)
+        dj = jnp.asarray(d.astype(np.float32))
+        analytic = float(flat_g @ dj)
+        tol = rtol * max(abs(analytic), 1e-3 * gnorm)
+        errs = []
+        for eps in eps_ladder:
+            lp = float(loss_fn(unravel(flat_p + eps * dj)))
+            lm = float(loss_fn(unravel(flat_p - eps * dj)))
+            errs.append((lp - lm) / (2 * eps) - analytic)
+            if abs(errs[-1]) <= tol:
+                break
+        else:
+            raise AssertionError(
+                f"direction {i}: analytic {analytic:.6f}, FD errors "
+                f"{[f'{e:+.6f}' for e in errs]} all exceed tol {tol:.6f}"
+            )
+
+
 def tiny_config(**model_overrides) -> TrainingConfig:
     model = ModelConfig(
         num_symbols=20,

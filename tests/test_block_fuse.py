@@ -23,7 +23,17 @@ import pytest
 
 from glow_tts_train_tpu.ops import flows
 
-from helpers import random_batch, tiny_config
+from helpers import fd_directional_grad_check, random_batch, tiny_config
+
+
+@pytest.fixture(autouse=True)
+def _fp32_matmuls():
+    """TPU lowers f32 dots/convs to single-pass bf16 MXU by default; these
+    parity tolerances assume fp32 round-off.  The Mosaic kernels compute
+    f32 matmuls at full precision, so at default precision the two paths
+    legitimately diverge by ~1e-2 (measured on v5e).  No-op on CPU."""
+    with jax.default_matmul_precision("highest"):
+        yield
 
 
 def _decoder_pair(**over):
@@ -204,7 +214,10 @@ def test_fused_block_inkernel_dropout_grads():
     jnp, so running it outside Pallas with the same portable masks and
     jax.grad-ing it gives the exact jacobian the hand-written backward
     must reproduce — including the dropout branches the dropout-off
-    parity tests cannot reach."""
+    parity tests cannot reach.  On a TPU backend the kernel is forced to
+    interpret mode for that exact comparison (the real kernel draws
+    hardware PRNG bits no oracle can replay) and the hardware path is
+    additionally checked by central differences through the real kernel."""
     import jax.flatten_util as fu2
     from glow_tts_train_tpu.ops import block_pallas as bp
     from glow_tts_train_tpu.ops.wn_pallas import _offsets, portable_ops
@@ -221,7 +234,7 @@ def test_fused_block_inkernel_dropout_grads():
     key = jax.random.PRNGKey(7)
     p_drop = 0.3
 
-    def kernel_out(bparams):
+    def kernel_out(bparams, interpret=None):
         return bp.flow_block_fused(
             bparams, x_sq, mask_sq, None,
             hidden_channels=hp_ref.hidden_channels,
@@ -231,6 +244,7 @@ def test_fused_block_inkernel_dropout_grads():
             p_dropout=p_drop,
             rng=key,
             deterministic=False,
+            interpret=interpret,
         )
 
     thr = np.uint32(min(round(p_drop * 2 ** 32), 2 ** 32 - 1))
@@ -275,15 +289,15 @@ def test_fused_block_inkernel_dropout_grads():
                 lds.append(ld)
         return jnp.stack(zs), jnp.stack(lds)
 
-    z_k, ld_k = kernel_out(block0)
+    z_k, ld_k = kernel_out(block0, interpret=True)
     z_o, ld_o = oracle_out(block0)
     np.testing.assert_allclose(np.asarray(z_o), np.asarray(z_k), atol=1e-5)
     np.testing.assert_allclose(
         np.asarray(ld_o), np.asarray(ld_k), rtol=1e-5
     )
 
-    def loss_k(bparams):
-        z, ld = kernel_out(bparams)
+    def loss_k(bparams, interpret=True):
+        z, ld = kernel_out(bparams, interpret=interpret)
         return jnp.sum(z * cot) + 0.1 * jnp.sum(ld)
 
     def loss_o(bparams):
@@ -296,6 +310,14 @@ def test_fused_block_inkernel_dropout_grads():
     np.testing.assert_allclose(
         np.asarray(f_k), np.asarray(f_o), atol=3e-6 * max(scale, 1.0)
     )
+
+    # hardware path: FD oracle through the real Mosaic kernel (TPU PRNG —
+    # no portable oracle can replay its bits; masks are weight-independent
+    # so central differences see identical masks)
+    if jax.default_backend() == "tpu":
+        fd_directional_grad_check(
+            lambda p: loss_k(p, interpret=None), block0
+        )
 
 
 def test_fused_wn_inkernel_dropout_grads():
@@ -343,12 +365,12 @@ def test_fused_wn_inkernel_dropout_grads():
         return jnp.stack(outs)
 
     for residuals in ("recompute", "store"):
-        def kernel_out(ws, residuals=residuals):
+        def kernel_out(ws, residuals=residuals, interpret=True):
             return wp.wn_stack_fused(
                 ws[0], ws[1], ws[2], ws[3], x, mask, g_all, seed,
                 kernel_size=3, dilation_rate=1, n_layers=L,
                 p_dropout=p_drop, deterministic=False,
-                residuals=residuals,
+                residuals=residuals, interpret=interpret,
             )
 
         y_k = kernel_out(ws0)
@@ -368,6 +390,15 @@ def test_fused_wn_inkernel_dropout_grads():
             np.asarray(f_k), np.asarray(f_o),
             atol=3e-6 * max(scale, 1.0), err_msg=residuals,
         )
+
+        # hardware path: FD oracle through the real Mosaic kernel
+        if jax.default_backend() == "tpu":
+            fd_directional_grad_check(
+                lambda w: jnp.sum(
+                    kernel_out(w, interpret=None) * cot
+                ),
+                ws0,
+            )
 
 
 def test_block_fuse_auto_resolution():

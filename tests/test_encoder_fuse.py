@@ -22,7 +22,17 @@ import pytest
 
 from glow_tts_train_tpu.ops.attention import encoder_apply, encoder_init
 
-from helpers import random_batch, tiny_config
+from helpers import fd_directional_grad_check, random_batch, tiny_config
+
+
+@pytest.fixture(autouse=True)
+def _fp32_matmuls():
+    """TPU lowers f32 dots/convs to single-pass bf16 MXU by default; these
+    parity tolerances assume fp32 round-off.  The Mosaic kernels compute
+    f32 matmuls at full precision, so at default precision the two paths
+    legitimately diverge by ~1e-2 (measured on v5e).  No-op on CPU."""
+    with jax.default_matmul_precision("highest"):
+        yield
 
 
 def _encoder(h=32, f=64, n_heads=2, n_layers=2, kernel_size=3, window=4,
@@ -165,22 +175,28 @@ def test_fused_encoder_gen_path():
 
 
 def test_fused_encoder_inkernel_dropout():
-    """The in-kernel dropout path (what a real TPU training step runs,
-    there via the hardware PRNG; here via the portable interpret-mode
-    bits): statistics, deterministic replay, and a finite-difference check
-    of the custom-VJP gradients THROUGH the dropout branches — the masks
-    depend only on (seed, site), never on weights, so central differences
-    are exact up to curvature."""
+    """The in-kernel dropout path.  Two regimes:
+
+    * exact autodiff oracle — the kernel forced to interpret mode (portable
+      PRNG bits) vs its own forward math run outside Pallas with the same
+      bits and jax.grad'd; masks match bit-for-bit, so outputs and every
+      parameter gradient agree to fp32 round-off.  This is what CPU runs
+      use anyway; forcing interpret keeps it valid on a TPU backend.
+    * hardware path (TPU backend only) — the real Mosaic kernel with the
+      TPU hardware PRNG, whose bits no oracle can reproduce: deterministic
+      replay, active-dropout, and a central-difference check of the
+      custom-VJP gradients THROUGH the dropout branches (masks depend only
+      on (seed, site), never on weights, so FD sees identical masks)."""
     from glow_tts_train_tpu.ops.encoder_pallas import encoder_layer_fused
 
     params, kw = _encoder(n_layers=1)
     layer0 = jax.tree_util.tree_map(lambda a: a[0], params)
     x, mask = _inputs()
 
-    def run(key, p, q=None):
+    def run(key, p, q=None, interpret=None):
         return encoder_layer_fused(
             q if q is not None else layer0, x, mask, **kw, kernel_size=3,
-            p_dropout=p, rng=key, deterministic=False,
+            p_dropout=p, rng=key, deterministic=False, interpret=interpret,
         )
 
     y = run(jax.random.PRNGKey(5), 0.4)
@@ -219,14 +235,16 @@ def test_fused_encoder_inkernel_dropout():
                 outs.append(out)
         return jnp.stack(outs)
 
-    y_k = run(key, 0.4)
+    y_k = run(key, 0.4, interpret=True)
     y_o = orc(layer0)
     np.testing.assert_allclose(np.asarray(y_o), np.asarray(y_k), atol=1e-5)
 
     cot = jnp.asarray(
         np.random.default_rng(3).standard_normal(y.shape), jnp.float32
     )
-    g_k = jax.grad(lambda q: jnp.sum(run(key, 0.4, q=q) * cot))(layer0)
+    g_k = jax.grad(
+        lambda q: jnp.sum(run(key, 0.4, q=q, interpret=True) * cot)
+    )(layer0)
     g_o = jax.grad(lambda q: jnp.sum(orc(q) * cot))(layer0)
     f_k, _ = fu.ravel_pytree(g_k)
     f_o, _ = fu.ravel_pytree(g_o)
@@ -234,6 +252,12 @@ def test_fused_encoder_inkernel_dropout():
     np.testing.assert_allclose(
         np.asarray(f_k), np.asarray(f_o), atol=3e-6 * max(scale, 1.0)
     )
+
+    # hardware path: FD oracle through the real Mosaic kernel (TPU PRNG)
+    if jax.default_backend() == "tpu":
+        fd_directional_grad_check(
+            lambda q: jnp.sum(run(key, 0.4, q=q) * cot), layer0
+        )
 
 
 def test_encoder_fuse_auto_resolution():
