@@ -50,11 +50,13 @@ def maximum_path(
     also keeps autodiff from trying to JVP through the Pallas kernel.
 
     ``impl="auto"`` picks the faster implementation for the (static) shape
-    from the measured v5e crossover (scripts/mas-sweep.py, BASELINE.md):
-    the fused Pallas kernel wins 4.8-80x below ~1M cells where the scan's
-    per-column dispatch overhead dominates, and the two are within noise
-    (0.98-1.0x) above it where both are bound by the sequential column
-    recurrence itself.
+    from the measured per-device-kind crossover.  On v5e the Pallas kernel
+    (single-kernel for VMEM-resident shapes, streaming two-pass otherwise —
+    mas_pallas.py) wins at EVERY measured shape: 4.8-80x at small shapes
+    where the scan's per-column dispatch overhead dominates, 2.5-5x at
+    training/30s-utterance shapes (BASELINE.md round 3h), so auto is
+    effectively always-pallas on TPU; non-TPU backends keep the scan for
+    large shapes (interpret mode adds glue there).
     """
     logp = jax.lax.stop_gradient(logp)
     mask = jax.lax.stop_gradient(mask)
@@ -69,13 +71,19 @@ def maximum_path(
     raise ValueError(f"unknown MAS impl: {impl}")
 
 
-# Measured crossovers (cells = b*t_x*t_y) below which the fused Pallas
-# kernel beats the column scan, keyed by jax device_kind.  v5e entry from
-# the scripts/mas-sweep.py grid (BASELINE.md round 2): pallas >=4.8x faster
-# at <=524k cells, parity at >=2.6M.
+# Measured crossovers (cells = b*t_x*t_y) below which the Pallas kernel
+# beats the column scan, keyed by jax device_kind.  Since the streaming
+# variant landed (mas_pallas.py, BASELINE.md round 3h) the kernel wins at
+# EVERY measured v5e shape — 3.9-5x at small/training shapes, 2.5-4.6x at
+# b=192 and 30s-utterance shapes — so the v5e crossover is unbounded.
+# Unknown TPU kinds still calibrate at first use.
+_NO_CROSSOVER = 1 << 62
 _PALLAS_MAX_CELLS_BY_KIND = {
-    "TPU v5 lite": 1_000_000,
+    "TPU v5 lite": _NO_CROSSOVER,
 }
+# Non-TPU backends run the kernel in interpret mode (same XLA ops as the
+# scan, plus padding/transpose glue for the streaming variant) — keep the
+# scan above the old crossover there.
 _DEFAULT_MAX_CELLS = 1_000_000
 _calibrated_max_cells: typing.Dict[str, int] = {}
 
@@ -152,14 +160,12 @@ def _crossover_from_times(
 
 
 def _calibrate_crossover() -> int:
-    from .mas_pallas import _pick_chunk, maximum_path_pallas
+    from .mas_pallas import maximum_path_pallas
 
     rng = np.random.default_rng(0)
     times = []
     cells = []
     for b, t_x, t_y in _CALIBRATION_PROBES:
-        if _pick_chunk(b, t_x, t_y) is None:  # kernel can't tile this probe
-            return 0
         logp = jnp.asarray(rng.standard_normal((b, t_x, t_y)), jnp.float32)
         mask = jnp.ones((b, t_x, t_y), jnp.float32)
         times.append(
@@ -175,12 +181,12 @@ def _calibrate_crossover() -> int:
 
 
 def auto_impl(b: int, t_x: int, t_y: int) -> str:
-    """Implementation choice for a given static shape (see maximum_path)."""
-    if b * t_x * t_y > _pallas_max_cells():
-        return "scan"
-    from .mas_pallas import _pick_chunk
+    """Implementation choice for a given static shape (see maximum_path).
 
-    return "pallas" if _pick_chunk(b, t_x, t_y) is not None else "scan"
+    The Pallas dispatch handles every shape (single-kernel when logp fits
+    VMEM, streaming otherwise), so the choice is purely the measured
+    crossover for the attached device kind."""
+    return "scan" if b * t_x * t_y > _pallas_max_cells() else "pallas"
 
 
 @jax.jit

@@ -90,6 +90,55 @@ def test_pallas_kernel_matches_oracle(shape):
     np.testing.assert_array_equal(got, expected)
 
 
+@pytest.mark.parametrize(
+    "shape", [(4, 8, 16), (2, 25, 80), (3, 37, 129), (8, 64, 256)]
+)
+def test_pallas_streaming_matches_oracle(shape):
+    """The streaming two-pass kernel (forced directly — the dispatcher only
+    takes it when logp exceeds the VMEM budget) vs the numpy oracle, on
+    ragged batches that exercise t_x/t_y padding and the reversed-block
+    backtrace carry."""
+    from glow_tts_train_tpu.ops.mas_pallas import _maximum_path_pallas_stream
+
+    rng = np.random.default_rng(33)
+    logp, mask = random_case(rng, *shape)
+    expected = mas.maximum_path_numpy(logp, mask)
+    got = np.asarray(
+        _maximum_path_pallas_stream(jnp.asarray(logp), jnp.asarray(mask))
+    )
+    np.testing.assert_array_equal(got, expected)
+
+
+def test_pallas_streaming_dispatch_and_tiling():
+    """Shapes whose logp exceeds the VMEM budget route to the streaming
+    kernel (no more scan fallback), and the tiling picks the largest legal
+    batch chunk."""
+    from glow_tts_train_tpu.ops import mas_pallas as mp
+
+    # 32x128x640 f32 = 10.5 MB logp alone: single-kernel path can't tile it
+    assert mp._pick_chunk(32, 128, 640) is None
+    chunk, t_blk, t_y_pad = mp._stream_tiling(32, 128, 640)
+    assert chunk == 32 and t_blk >= 8 and t_y_pad % t_blk == 0
+    chunk, t_blk, t_y_pad = mp._stream_tiling(192, 128, 640)
+    assert chunk == 192  # largest multiple-of-8 divisor <= 256
+    # b with no multiple-of-8 divisor: whole-batch block
+    chunk, _, _ = mp._stream_tiling(3, 128, 2600)
+    assert chunk == 3
+    # huge t_x shrinks the chunk to keep t_blk >= 8 in budget
+    chunk, t_blk, _ = mp._stream_tiling(256, 2048, 640)
+    assert chunk % 8 == 0 and 256 % chunk == 0 and t_blk >= 8
+
+    # end-to-end through the public dispatcher on an over-budget shape
+    rng = np.random.default_rng(5)
+    logp, mask = random_case(rng, 16, 128, 640)  # 1.6MB/sample > 8-chunk fit
+    assert mp._pick_chunk(16, 128, 640) is None
+    expected = mas.maximum_path_numpy(logp, mask)
+    got = np.asarray(
+        mas.maximum_path(jnp.asarray(logp), jnp.asarray(mask), impl="pallas")
+    )
+    np.testing.assert_array_equal(got, expected)
+
+
 @pytest.mark.parametrize("impl", ["scan", "pallas"])
 def test_extreme_negative_logp(impl):
     """Accumulated scores below the -1e9 out-of-band sentinel must not corrupt
@@ -109,8 +158,10 @@ def test_extreme_negative_logp(impl):
 
 
 def test_auto_impl_selection_and_equivalence():
-    """impl='auto' picks pallas below the measured ~1M-cell crossover and
-    scan above it (scripts/mas-sweep.py, BASELINE.md), and the path is
+    """impl='auto' on a NON-TPU backend (this suite) keeps the scan above
+    the 1M-cell default crossover — interpret-mode Pallas adds glue there —
+    while real TPU kinds resolve their own crossover (unbounded on v5e
+    since the streaming kernel, BASELINE.md round 3h).  The path is
     identical either way."""
     import numpy as np
 
@@ -118,12 +169,14 @@ def test_auto_impl_selection_and_equivalence():
 
     from glow_tts_train_tpu.ops import mas
 
+    import jax
+
     assert mas.auto_impl(8, 64, 256) == "pallas"
     assert mas.auto_impl(32, 64, 256) == "pallas"
-    assert mas.auto_impl(32, 128, 640) == "scan"
-    assert mas.auto_impl(8, 384, 2600) == "scan"
-    # awkward tilings fall back to scan even when small
-    assert mas.auto_impl(3, 64, 256) in ("scan", "pallas")
+    if jax.default_backend() != "tpu":  # v5e: pallas at every shape
+        assert mas.auto_impl(32, 128, 640) == "scan"
+        assert mas.auto_impl(8, 384, 2600) == "scan"
+    assert mas.auto_impl(3, 64, 256) == "pallas"  # any batch tiles now
 
     rng = np.random.default_rng(9)
     logp = jnp.asarray(rng.standard_normal((8, 16, 40)), jnp.float32)
@@ -168,7 +221,7 @@ def test_auto_crossover_portability(monkeypatch):
             device_kind = "TPU v5 lite"
 
         monkeypatch.setattr(mas.jax, "devices", lambda: [V5e()])
-        assert mas._pallas_max_cells() == 1_000_000
+        assert mas._pallas_max_cells() == mas._NO_CROSSOVER
         assert calls == [1]
     finally:
         mas._calibrated_max_cells.clear()
