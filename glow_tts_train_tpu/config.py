@@ -218,6 +218,14 @@ class TrainingConfig:
     # budget; 0 disables caching (OS page cache still serves re-reads);
     # -1 restores the reference's unbounded behavior.
     mel_cache_frames: int = 500_000
+    # Scoped-VMEM stack limit (KiB) passed to the TPU compiler for the
+    # train step.  The fused block kernel's backward stashes per-layer WN
+    # values in VMEM scratch; past ~650 squeezed frames that plus the
+    # weight-grad accumulators exceeds the compiler's 16 MiB default stack
+    # budget and long-utterance buckets fail to compile (observed at
+    # t_y=1408 on v5e: 17.23 MiB needed).  64 MiB covers ~60 s utterances
+    # with VMEM to spare (v5e has 128 MiB).  0 keeps the compiler default.
+    scoped_vmem_limit_kib: int = 65536
 
     def to_dict(self) -> dict:
         d = dataclasses.asdict(self)

@@ -134,6 +134,22 @@ def _prefetch(iterable, prepare, size: int):
         stop.set()
 
 
+def _compiler_options(config) -> typing.Optional[dict]:
+    """Per-jit TPU compiler options for the train step.
+
+    Raises the scoped-VMEM stack limit (config.scoped_vmem_limit_kib) so
+    the fused block kernel's backward — per-layer WN scratch + VMEM
+    weight-grad accumulators — compiles for long-utterance buckets; the
+    16 MiB compiler default fails past ~650 squeezed frames (observed on
+    v5e at t_y=1408: needs 17.23 MiB).  Options serialize into the PJRT
+    compile request, so they also reach remote/tunneled compilers where
+    a client-side XLA_FLAGS env cannot."""
+    kib = int(getattr(config, "scoped_vmem_limit_kib", 65536) or 0)
+    if kib <= 0 or jax.default_backend() != "tpu":
+        return None
+    return {"xla_tpu_scoped_vmem_limit_kib": str(kib)}
+
+
 def make_train_step(
     config: TrainingConfig,
     mesh=None,
@@ -258,8 +274,13 @@ def make_train_step(
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1), metrics
 
+    copts = _compiler_options(config)
     if mesh is None:
-        return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+        return jax.jit(
+            step_fn,
+            donate_argnums=(0,) if donate else (),
+            compiler_options=copts,
+        )
 
     repl = replicated(mesh)
     data = batch_sharding(mesh, config.mesh_axis)
@@ -276,6 +297,7 @@ def make_train_step(
         in_shardings=(state_sh, data, repl),
         out_shardings=(state_sh, repl),
         donate_argnums=(0,) if donate else (),
+        compiler_options=copts,
     )
 
     # trace under set_mesh so the Pallas call sites can see the mesh

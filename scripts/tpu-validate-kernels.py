@@ -34,6 +34,7 @@ def run_tests():
             "tests/test_block_fuse.py::test_fused_wn_inkernel_dropout_grads",
             "tests/test_block_fuse.py::test_fused_block_inverse_matches_op_by_op",
             "tests/test_block_fuse.py::test_fused_block_roundtrip",
+            "tests/test_block_fuse.py::test_long_utterance_bucket_step_on_tpu",
             "-q",
         ],
         env={**os.environ, "GLOW_TTS_TEST_TPU": "1"},

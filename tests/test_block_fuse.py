@@ -401,6 +401,36 @@ def test_fused_wn_inkernel_dropout_grads():
             )
 
 
+def test_long_utterance_bucket_step_on_tpu():
+    """Regression (TPU-only): the fused block backward at long buckets
+    needs more scoped-VMEM stack than the compiler's 16 MiB default —
+    at t_y=1408 (t=704 squeezed, base config) the kernel + weight-grad
+    accumulators need 17.23 MiB on v5e and the step failed to compile
+    until make_train_step raised the limit via per-jit compiler_options
+    (training._compiler_options / config.scoped_vmem_limit_kib).  Caught
+    by the 400-utterance soak's precompile phase, not the bench shapes."""
+    if jax.default_backend() != "tpu":
+        pytest.skip("TPU-only: scoped-VMEM stack limit is a TPU concept")
+    import numpy as np2
+
+    from glow_tts_train_tpu import training
+    from glow_tts_train_tpu.config import ModelConfig, TrainingConfig
+
+    config = TrainingConfig(model=ModelConfig(num_symbols=44))
+    rng = np2.random.default_rng(0)
+    b, t_x, t_y = 8, 184, 1408
+    batch = {
+        "x": rng.integers(1, 44, size=(b, t_x)).astype(np2.int32),
+        "x_lengths": np2.full((b,), t_x, np2.int32),
+        "y": rng.standard_normal((b, t_y, 80)).astype(np2.float32),
+        "y_lengths": np2.full((b,), t_y, np2.int32),
+    }
+    state = training.create_state(config, jax.random.PRNGKey(0))
+    step = training.make_train_step(config, mas_impl="auto", donate=False)
+    state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    assert np2.isfinite(float(metrics["loss"]))
+
+
 def test_block_fuse_auto_resolution():
     """config flow_block_fuse="auto" follows the resolved wn_impl."""
     from glow_tts_train_tpu.models import hyper_from_config

@@ -24,19 +24,19 @@ def _free_port():
         return s.getsockname()[1]
 
 
-def _run_pair(tmp_path, mels_dir, extra=(), attempts=2):
-    """Launch the 2-process rendezvous; retry once on a coordinator-port
-    bind race (inherent TOCTOU of port picking) or a timeout (the two
-    processes each compile the full train step — under heavy machine
-    contention, e.g. the full suite alongside a TPU job, one attempt can
-    exceed the window)."""
+def _run_pair(tmp_path, mels_dir, extra=(), attempts=3):
+    """Launch the 2-process rendezvous; retry on a coordinator-port bind
+    race (inherent TOCTOU of port picking) or a timeout (the two processes
+    each compile the full train step — under heavy machine contention,
+    e.g. the full suite alongside a TPU soak, an attempt can exceed the
+    window; observed twice-in-a-row on 2026-08-18, hence 3 attempts)."""
     for attempt in range(attempts):
         port = _free_port()
         procs = [
             _launch(tmp_path, mels_dir, port, i, extra=extra) for i in (0, 1)
         ]
         try:
-            outs = [p.communicate(timeout=420)[0] for p in procs]
+            outs = [p.communicate(timeout=600)[0] for p in procs]
         except subprocess.TimeoutExpired:
             # surface whichever process actually crashed before killing the
             # survivor — a bare TimeoutExpired would hide the root cause
