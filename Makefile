@@ -1,16 +1,32 @@
 # Dev tooling (reference Makefile equivalent: check/test/dist targets).
 # No venv target — dependencies are preinstalled (jax/optax/numpy/pytest).
 
-.PHONY: check test bench native dist clean
+.PHONY: check test test-all bench native dist clean validate-tpu
 
 check:
 	scripts/check-code.sh
 
+# Fast tier: skips @pytest.mark.slow (interpret-mode Pallas kernel sweeps,
+# 8-device-mesh + subprocess CLI/multihost tests; 179 of 234 tests remain).
+# Measured 2026-08-19 per-file serial: fast tier ~9.5 min serial (~3.5 min
+# with -n 4); slow tier adds ~18 min serial (block_fuse 236 s, multihost
+# 250 s, parallel 318 s, encoder_fuse 127 s, cli_multidevice 80 s,
+# kernel_mesh 79 s).
 test:
-	python -m pytest tests/ -q
+	python -m pytest tests/ -q -m "not slow" -n 4
+
+# Everything, parallelized with pytest-xdist.
+test-all:
+	python -m pytest tests/ -q -n 4
 
 bench:
 	python bench.py
+
+# On-chip validation in one command: in-kernel dropout tests + fuse A/Bs +
+# headline bench shapes + a 200-step convergence smoke; writes one JSON
+# evidence file to docs/evidence/validate_tpu_<date>.json.
+validate-tpu:
+	python scripts/tpu-validate-kernels.py
 
 native:
 	mkdir -p native/build

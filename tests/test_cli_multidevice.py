@@ -7,6 +7,10 @@ slice executes, minus the silicon."""
 import json
 import subprocess
 import sys
+import pytest
+
+# measured 2026-08-19: full-CLI subprocess on an 8-device mesh (~1 min); `make test` skips, `make test-all` runs
+pytestmark = pytest.mark.slow
 
 
 def test_train_cli_on_virtual_eight_device_mesh(tmp_path):

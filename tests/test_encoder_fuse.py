@@ -24,6 +24,9 @@ from glow_tts_train_tpu.ops.attention import encoder_apply, encoder_init
 
 from helpers import fd_directional_grad_check, random_batch, tiny_config
 
+# measured 2026-08-19: interpret-mode Pallas encoder-kernel sweeps (~2 min); `make test` skips, `make test-all` runs
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(autouse=True)
 def _fp32_matmuls():

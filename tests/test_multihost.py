@@ -14,8 +14,12 @@ import os
 import socket
 import subprocess
 import sys
+import pytest
 
 import numpy as np
+
+# measured 2026-08-19: 2-process jax.distributed subprocess runs (~4 min); `make test` skips, `make test-all` runs
+pytestmark = pytest.mark.slow
 
 
 def _free_port():

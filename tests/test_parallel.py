@@ -2,6 +2,7 @@
 match single-device results, and the graft dryrun must pass."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -10,6 +11,9 @@ from glow_tts_train_tpu import training
 from glow_tts_train_tpu.parallel import default_mesh, shard_batch
 
 from helpers import random_batch, tiny_config
+
+# measured 2026-08-19: 8-device mesh train steps + in-process dryrun (~5 min); `make test` skips, `make test-all` runs
+pytestmark = pytest.mark.slow
 
 
 def test_eight_virtual_devices():
@@ -108,11 +112,17 @@ def test_graft_dryrun_multichip_driver_invocation():
         cwd="/root/repo",
         capture_output=True,
         text=True,
-        timeout=600,
+        # the dryrun includes a 2-process jax.distributed leg (two CLI
+        # subprocesses, each compiling the full train step) — ~5 min on an
+        # idle box, well over 10 under load
+        timeout=1500,
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "data-parallel OK" in proc.stdout, proc.stdout
     assert "tensor-parallel" in proc.stdout, proc.stdout
+    assert "store+unroll kernels under shard_map OK" in proc.stdout, proc.stdout
+    assert "grad-accum" in proc.stdout, proc.stdout
+    assert "2-process jax.distributed" in proc.stdout, proc.stdout
 
 
 def test_graft_entry_compiles():
