@@ -407,8 +407,12 @@ def main():
     safe = bool(os.environ.get("BENCH_SAFE"))
     if safe:
         _log("bench: BENCH_SAFE mode — newest kernels disabled")
+        # round-2-proven set: fused WN kernel only, recompute backward,
+        # scanned blocks (the round-4 store+unroll default and the round-3
+        # encoder/reverse kernels are the newest, least-proven paths)
         config = dataclasses.replace(
-            config, encoder_fuse=False, flow_block_fuse_reverse=False
+            config, encoder_fuse=False, flow_block_fuse_reverse=False,
+            wn_residuals="recompute", unroll_blocks=False,
         )
 
     # BENCH_MINIMAL (supervisor's last resort after repeated DETERMINISTIC
@@ -444,11 +448,10 @@ def main():
     _log(f"rpc baseline (diagnostic): {rpc_base * 1e3:.2f} ms")
 
     step_time, frames_per_sec = bench_train(config)
-    # larger batches amortize weight traffic; with the fused WN kernel
-    # (round 3) the old b>=192 memory-pressure regression is gone.  After
-    # the hoisted batched weight fold (round 3e) the measured sweep is
-    # 96:1.106M / 128:1.154M / 160:1.127M / 192:1.122M / 256:1.104M f/s —
-    # b=128 is the peak; b=192 kept for round-over-round history.
+    # larger batches amortize weight traffic; with the round-4 default
+    # (store+unroll backward) the sweep is flat from b=96 up —
+    # 96:1.382M / 128:1.385M / 160:1.361M / 192:1.386M f/s measured — so
+    # b=128 and b=192 both sit at the peak; both kept for history.
     step_time_b128, frames_per_sec_b128 = bench_train(config, b=128)
     step_time_b192, frames_per_sec_b192 = bench_train(config, b=192)
     rtf, infer_time, infer_frames = bench_infer_rtf(config)

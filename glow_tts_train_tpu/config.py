@@ -138,10 +138,18 @@ class TrainingConfig:
     # dropout draws per-microbatch streams.  batch_size must divide by it.
     grad_accum_steps: int = 1
     # Iterate encoder layers / flow blocks as an unrolled Python loop (True)
-    # or a lax.scan (False).  Round-2 A/B on v5e with RPC-jitter-immune
-    # timing: unroll is 10-15% SLOWER (34.2 vs 29.8 ms/step at b=32) and
-    # compiles 3.5x longer — scan is the default and the measured winner.
-    unroll_blocks: bool = False
+    # or a lax.scan (False).  "auto" -> unrolled wherever the fused Pallas
+    # WN kernel is the resolved impl (TPU backends), scan elsewhere.
+    # Unroll is what makes residual-store backward win: each block
+    # kernel's custom-VJP residuals become independent live values instead
+    # of lax.scan outputs that XLA stacks with dynamic_update_slice — the
+    # round-3c store-mode loss was those stacking copies, not the residual
+    # traffic itself (round-4 A/B on v5e, b=128: scan+store 81.7 ms vs
+    # unroll+store 59.0 ms vs round-3 default 70.3 ms).  Cost: ~3.5x
+    # compile time (12 statically-indexed block kernels instead of one
+    # scanned body); the persistent compilation cache absorbs it across
+    # runs.  Explicit True/False wins.
+    unroll_blocks: typing.Union[bool, str] = "auto"
     # Rematerialize flow-block activations in backward (jax.checkpoint):
     # "auto" picks the measured winner for the resolved wn_impl — "none"
     # with the fused Pallas WN (its custom VJP already stores minimal
@@ -180,24 +188,28 @@ class TrainingConfig:
     # bwd); "store" saves per-layer inputs + gate activations to HBM in
     # forward so backward skips the recompute pass (2x- vs 3x-forward
     # FLOPs, at 3·L·t·h extra bytes per sample per block).  "auto" ->
-    # "recompute": measured 111.1 vs 124.7 ms at b=192 on v5e — the
-    # kernel overlaps its recompute DMA, while "store" pays ~7 GB/step of
-    # real residual traffic.  "store" remains for recompute-dominated
-    # shapes (long t, small h).
+    # "store" when the blocks are unrolled (the round-4 measured winner:
+    # 59.0 vs 70.3 ms at b=128 on v5e — backward drops to the 4 essential
+    # matmuls per layer and the residuals ride HBM once each way),
+    # "recompute" under lax.scan (store's residuals would become stacked
+    # scan outputs: 81.7 ms at b=128 — the round-3c regression).
     wn_residuals: str = "auto"
     # Fuse each entire training-forward flow block (folded actnorm∘invconv
     # matmul + start/end 1x1 convs + WN stack + affine coupling + logdet
     # reduction) into one Pallas kernel (ops/block_pallas.py) instead of
-    # running the non-WN pieces as separate XLA ops.  "auto" follows the
-    # resolved wn_impl (fused on TPU); True/False force.  Applies to the
-    # training forward AND the inference reverse (each direction is its
-    # own fused kernel); DDI always uses the op-by-op path, and export
-    # forces it for multi-platform artifacts.
+    # running the non-WN pieces as separate XLA ops.  "auto" -> fused on
+    # TPU when the resolved wn_residuals is "recompute" (the block kernel
+    # has no residual-store mode; with the round-4 store+unroll default
+    # the training forward therefore runs WN-kernel + XLA glue, which the
+    # A/B shows is faster overall); True/False force.  DDI always uses
+    # the op-by-op path, and export forces it for multi-platform
+    # artifacts.
     flow_block_fuse: typing.Union[bool, str] = "auto"
     # Independent control of the INVERSE (inference) block kernel:
-    # "auto" follows flow_block_fuse; True/False force just the reverse
-    # direction (serving operators can pin the op-by-op inverse without
-    # touching the training path).
+    # "auto" follows the resolved wn_impl (the fused inverse block stays
+    # the serving winner regardless of the training-forward strategy);
+    # True/False force just the reverse direction (serving operators can
+    # pin the op-by-op inverse without touching the training path).
     flow_block_fuse_reverse: typing.Union[bool, str] = "auto"
     # Fuse the text side: each entire encoder layer (windowed rel-pos MHA +
     # dropout + residual layernorm + conv-FFN + residual layernorm) as one

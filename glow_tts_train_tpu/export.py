@@ -63,7 +63,7 @@ def build_infer_fn(params, config, max_frames: int, speaker: int = 0):
     # (the kernels are parity-tested against this path).
     hp = hp._replace(
         wn_impl="xla", block_fuse=False, block_fuse_reverse=False,
-        encoder_fuse=False,
+        encoder_fuse=False, wn_residuals="recompute", unroll=False,
     )
     g_ids = (
         jnp.full((1,), speaker, jnp.int32)

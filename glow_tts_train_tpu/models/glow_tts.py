@@ -122,8 +122,12 @@ def hyper_from_config(config: TrainingConfig) -> GlowTTSHyper:
     m = config.model
     wn_impl = _resolve_wn_impl(getattr(config, "wn_impl", "auto"))
     remat = _resolve_remat(config.remat_blocks, wn_impl)
+    unroll = _resolve_unroll(getattr(config, "unroll_blocks", "auto"), wn_impl)
+    wn_residuals = _resolve_wn_residuals(
+        getattr(config, "wn_residuals", "auto"), wn_impl, unroll
+    )
     block_fuse = _resolve_block_fuse(
-        getattr(config, "flow_block_fuse", "auto"), wn_impl
+        getattr(config, "flow_block_fuse", "auto"), wn_impl, wn_residuals
     )
     return GlowTTSHyper(
         n_vocab=m.num_symbols,
@@ -151,16 +155,14 @@ def hyper_from_config(config: TrainingConfig) -> GlowTTSHyper:
         hidden_channels_enc=m.hidden_channels_enc,
         hidden_channels_dec=m.hidden_channels_dec,
         prenet=m.prenet,
-        unroll=config.unroll_blocks,
+        unroll=unroll,
         remat=remat,
         remat_encoder=config.remat_encoder,
         wn_impl=wn_impl,
-        wn_residuals=_resolve_wn_residuals(
-            getattr(config, "wn_residuals", "auto")
-        ),
+        wn_residuals=wn_residuals,
         block_fuse=block_fuse,
         block_fuse_reverse=_resolve_block_fuse_reverse(
-            getattr(config, "flow_block_fuse_reverse", "auto"), block_fuse
+            getattr(config, "flow_block_fuse_reverse", "auto"), wn_impl
         ),
         encoder_fuse=_resolve_encoder_fuse(
             getattr(config, "encoder_fuse", "auto"), wn_impl, m
@@ -187,34 +189,59 @@ def _resolve_remat(value, wn_impl: str):
     return "none" if wn_impl == "pallas" else True
 
 
-def _resolve_wn_residuals(value: str) -> str:
-    """"auto" -> "recompute", the measured winner (v5e, b=192 base config,
-    two interleaved passes: recompute 111.1 ms vs store 124.7 ms).  The
-    in-kernel recompute overlaps its own DMA with the MXU walk, while
-    "store" pays ~6.8 GB/step of real residual traffic plus the scan's
-    stacking copies — the roofline's MXU-bound reading did not make that
-    traffic free.  "store" stays available as an explicit choice for
-    shapes where recompute FLOPs dominate (long t, small h)."""
+def _resolve_unroll(value, wn_impl: str) -> bool:
+    """"auto" -> unroll the flow blocks (statically-indexed Python loop)
+    wherever the fused Pallas WN kernel is the resolved impl on a real TPU
+    backend; lax.scan elsewhere.  Unrolling is what makes residual-store
+    backward win (see _resolve_wn_residuals): each block kernel's
+    custom-VJP residuals become independent live values instead of scan
+    outputs that XLA stacks with dynamic_update_slice.  Off-TPU the scan
+    keeps compiles fast (interpret-mode kernels gain nothing from
+    unrolling).  Explicit True/False wins."""
+    if value != "auto":
+        return bool(value)
+    import jax
+
+    return wn_impl == "pallas" and jax.default_backend() == "tpu"
+
+
+def _resolve_wn_residuals(value: str, wn_impl: str, unroll: bool) -> str:
+    """"auto" -> "store" when the fused WN kernel runs with unrolled
+    blocks — the round-4 measured winner (v5e base config, interleaved
+    A/B: 59.0 ms vs the round-3 default's 70.3 ms at b=128, 88.7 vs
+    105.6 ms at b=192; MFU 0.57 -> 0.68).  Forward saves per-layer inputs
+    + gate activations to HBM, and backward drops its in-kernel recompute
+    pass to the 4 essential matmuls per layer.  Under lax.scan the same
+    mode LOSES (81.7 ms at b=128): every per-block residual becomes a
+    scan output that XLA stacks with dynamic_update_slice, and those
+    copies cost more than the recompute they replace (the round-3c
+    finding) — so scan resolves to "recompute"."""
     if value != "auto":
         return value
-    return "recompute"
+    return "store" if (wn_impl == "pallas" and unroll) else "recompute"
 
 
-def _resolve_block_fuse(value, wn_impl: str) -> bool:
+def _resolve_block_fuse(value, wn_impl: str, wn_residuals: str) -> bool:
     """"auto" -> fuse the whole training-forward flow block into one Pallas
-    kernel wherever the fused WN kernel is already the resolved impl (TPU
-    backends); explicit True/False wins."""
+    kernel wherever the fused WN kernel is the resolved impl AND backward
+    is recompute-mode; the block kernel has no residual-store backward,
+    and store+unroll (the round-4 default) beats it — 59.0 vs 70.3 ms at
+    b=128 on v5e.  Explicit True/False wins."""
+    if value != "auto":
+        return bool(value)
+    return wn_impl == "pallas" and wn_residuals != "store"
+
+
+def _resolve_block_fuse_reverse(value, wn_impl: str) -> bool:
+    """"auto" -> fuse the INVERSE (inference) block wherever the Pallas
+    kernels are the resolved impl.  Independent of the training-forward
+    block fuse: the inverse kernel (invconv⁻¹∘actnorm⁻¹ folded to one
+    [c, c] affine + WN + coupling⁻¹) is the serving-latency winner
+    regardless of the training backward strategy.  Explicit True/False
+    pins just the reverse direction."""
     if value != "auto":
         return bool(value)
     return wn_impl == "pallas"
-
-
-def _resolve_block_fuse_reverse(value, block_fuse: bool) -> bool:
-    """"auto" -> follow the resolved flow_block_fuse; explicit True/False
-    pins just the inference (reverse) kernel."""
-    if value != "auto":
-        return bool(value)
-    return block_fuse
 
 
 def _resolve_encoder_fuse(value, wn_impl: str, m) -> bool:

@@ -104,6 +104,38 @@ def test_train_step_equivalent_with_fused_wn():
     assert np.allclose(losses["pallas"], losses["xla"], rtol=1e-5), losses
 
 
+def test_train_step_equivalent_store_unroll():
+    """The round-4 TPU default combo — WN kernel, residual-STORE backward,
+    UNROLLED blocks (store's residuals stay independent live values, no
+    scan stacking) — matches the XLA scan path's loss/grad-norm trajectory
+    with dropout off.  Pins the combination end-to-end (the op-level
+    store-mode parity is test_fused_wn_matches_xla)."""
+    from glow_tts_train_tpu import training
+
+    losses = {}
+    variants = {
+        "xla": {"wn_impl": "xla"},
+        "store_unroll": {
+            "wn_impl": "pallas",
+            "wn_residuals": "store",
+            "unroll_blocks": True,
+        },
+    }
+    for name, overrides in variants.items():
+        config = dataclasses.replace(
+            tiny_config(p_dropout=0.0, p_dropout_dec=0.0), **overrides
+        )
+        batch = random_batch(config, np.random.default_rng(7))
+        state = training.create_state(config, jax.random.PRNGKey(0))
+        step_fn = training.make_train_step(config, donate=False)
+        for i in range(3):
+            state, metrics = step_fn(state, batch, jax.random.PRNGKey(i))
+        losses[name] = (float(metrics["loss"]), float(metrics["grad_norm"]))
+    assert np.allclose(
+        losses["store_unroll"], losses["xla"], rtol=1e-5
+    ), losses
+
+
 def test_fused_wn_dropout_statistics():
     """With dropout on, the kernel's hardware-PRNG masks differ from the
     XLA stream but must drop at the configured rate and scale survivors."""
@@ -168,14 +200,21 @@ def test_auto_defaults_resolve_per_backend():
     hp = hyper_from_config(tiny_config())  # CPU backend under tests
     assert hp.wn_impl == "xla" and hp.remat is True
     assert hp.wn_residuals == "recompute"
+    assert hp.unroll is False  # scan off-TPU (auto unroll is TPU-only)
 
     assert _resolve_remat("auto", "pallas") == "none"
     assert _resolve_remat("auto", "xla") is True
     assert _resolve_remat("dots", "pallas") == "dots"  # explicit wins
     assert _resolve_wn_impl("xla") == "xla"
-    # measured winner (v5e b=192: 111.1 vs 124.7 ms) — recompute everywhere
-    assert _resolve_wn_residuals("auto") == "recompute"
-    assert _resolve_wn_residuals("store") == "store"
+    # round-4 measured winner (v5e b=128: store+unroll 59.0 ms vs
+    # recompute+scan 70.3 ms): store wherever the kernel runs unrolled,
+    # recompute under lax.scan (store's residuals would become stacked
+    # scan outputs — the round-3c regression, 81.7 ms)
+    assert _resolve_wn_residuals("auto", "pallas", True) == "store"
+    assert _resolve_wn_residuals("auto", "pallas", False) == "recompute"
+    assert _resolve_wn_residuals("auto", "xla", True) == "recompute"
+    assert _resolve_wn_residuals("store", "xla", False) == "store"  # explicit
+    assert _resolve_wn_residuals("recompute", "pallas", True) == "recompute"
 
 
 def test_decoder_roundtrip_with_fused_wn():
