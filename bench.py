@@ -578,6 +578,17 @@ def main():
             "achieved_tflops": round(achieved / 1e12, 2),
             "chip": chip,
             "chip_peak_bf16_tflops": peak / 1e12,
+            # The north-star target is "vs an A100 run" that nobody can
+            # measure (the reference publishes no numbers and this
+            # environment has no GPU).  Record the analytic basis so the
+            # comparison can be evaluated later: an A100-SXM's bf16 peak is
+            # 312 TFLOP/s dense; at this step's analytic FLOPs, a
+            # hypothetical A100 running at THIS chip's achieved MFU would
+            # need (peak_ratio x) this step time.
+            "a100_peak_bf16_tflops": 312.0,
+            "a100_equiv_frames_per_sec_at_same_mfu": round(
+                frames_per_sec_b128 * 312.0e12 / peak, 1
+            ),
             "train_flops_per_step_tf": round(flops_per_step / 1e12, 3),
             "breakdown_ms": {
                 "encoder_fwd": round(enc_ms, 2),
