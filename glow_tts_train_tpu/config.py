@@ -197,11 +197,11 @@ class TrainingConfig:
     # Fuse each entire training-forward flow block (folded actnorm∘invconv
     # matmul + start/end 1x1 convs + WN stack + affine coupling + logdet
     # reduction) into one Pallas kernel (ops/block_pallas.py) instead of
-    # running the non-WN pieces as separate XLA ops.  "auto" -> fused on
-    # TPU when the resolved wn_residuals is "recompute" (the block kernel
-    # has no residual-store mode; with the round-4 store+unroll default
-    # the training forward therefore runs WN-kernel + XLA glue, which the
-    # A/B shows is faster overall); True/False force.  DDI always uses
+    # running the non-WN pieces as separate XLA ops.  "auto" -> fused
+    # wherever the Pallas WN kernel is the resolved impl (TPU backends);
+    # the kernel honors wn_residuals in both modes (in-kernel recompute,
+    # or the round-4 store backward that saves zp/skipm/xs/th/sg and
+    # pairs with unrolled blocks).  True/False force.  DDI always uses
     # the op-by-op path, and export forces it for multi-platform
     # artifacts.
     flow_block_fuse: typing.Union[bool, str] = "auto"

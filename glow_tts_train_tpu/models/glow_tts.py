@@ -223,13 +223,13 @@ def _resolve_wn_residuals(value: str, wn_impl: str, unroll: bool) -> str:
 
 def _resolve_block_fuse(value, wn_impl: str, wn_residuals: str) -> bool:
     """"auto" -> fuse the whole training-forward flow block into one Pallas
-    kernel wherever the fused WN kernel is the resolved impl AND backward
-    is recompute-mode; the block kernel has no residual-store backward,
-    and store+unroll (the round-4 default) beats it — 59.0 vs 70.3 ms at
-    b=128 on v5e.  Explicit True/False wins."""
+    kernel wherever the fused WN kernel is the resolved impl.  The block
+    kernel supports both backward strategies (ops/block_pallas.py:
+    in-kernel recompute, or the round-4 residual-store backward that pairs
+    with unrolled blocks).  Explicit True/False wins."""
     if value != "auto":
         return bool(value)
-    return wn_impl == "pallas" and wn_residuals != "store"
+    return wn_impl == "pallas"
 
 
 def _resolve_block_fuse_reverse(value, wn_impl: str) -> bool:

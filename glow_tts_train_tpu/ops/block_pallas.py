@@ -32,10 +32,18 @@ x_len, so they also stay outside.  In-kernel per sample [t, c]:
     z1       = (m + e^logs * x1) * mask
     z        = concat(x0, z1);   ld = sum(logs * mask)
 
-Backward (custom VJP) recomputes the forward in-kernel (the measured
-winner over storing residuals — BASELINE.md round 3c) and walks back
-through end → WN reverse walk → start → the folded A matmul, with all
-weight-gradient accumulators resident in VMEM across the batch grid.
+Backward (custom VJP) has two strategies, mirroring ops/wn_pallas.py:
+``residuals="recompute"`` re-runs the forward in-kernel then walks back
+through end → WN reverse walk → start → the folded A matmul;
+``residuals="store"`` saves the WN per-layer inputs/gates plus the two
+block-level intermediates backward cannot cheaply rebuild (zp — the
+post-affine split point — and skipm — the end conv's input) to HBM in
+forward, so backward skips the recompute entirely (round-4 measured
+winner with UNROLLED blocks: under lax.scan the saved residuals become
+DUS-stacked scan outputs and recompute wins — BASELINE.md rounds 3c/4).
+All weight-gradient accumulators stay VMEM-resident across the batch
+grid in both modes; dropout keep masks are never stored (backward
+replays them from the PRNG).
 
 Cited reference behavior: coupling forward/logdet attentions.py:119-142,
 actnorm layers.py:182-199, invconv layers.py:238-272.
@@ -109,7 +117,9 @@ def _block_fwd_math(x, mask, refs, st, *, collect=None):
         if collect is not None:
             collect[1][l] = th.astype(dtype)
             collect[2][l] = sg.astype(dtype)
-            if keepf is not None:
+            # store-mode collect is length 3: keep masks are replayed from
+            # the PRNG in backward, never written to HBM
+            if keepf is not None and len(collect) > 3:
                 collect[3][l] = keepf.astype(dtype)
         skip = skip + skip_inc.astype(jnp.float32)
     skipm = (skip.astype(dtype) * mask).astype(dtype)
@@ -142,6 +152,150 @@ def _block_fwd_kernel(seed_ref, x_ref, mask_ref, a_ref, ba_ref, ws_ref,
     # Mosaic needs the last two block dims (8, 128)-aligned: pad the scalar
     # logdet to one [8, 128] tile per sample (caller reads [:, 0, 0])
     ld_ref[0] = jnp.full((8, 128), ld, jnp.float32)
+
+
+class _SaveView:
+    """Adapter so _block_fwd_math's collect protocol (``view[l] = value``)
+    can target a per-sample ``[1, L, t, h]`` output block instead of the
+    recompute kernel's ``[L, t, h]`` VMEM scratch."""
+
+    def __init__(self, ref):
+        self._ref = ref
+
+    def __setitem__(self, l, value):
+        self._ref[0, l] = value
+
+    def __len__(self):  # collect tuples are length-checked, not the views
+        raise TypeError("_SaveView has no length")
+
+
+def _block_fwd_save_kernel(seed_ref, x_ref, mask_ref, a_ref, ba_ref, ws_ref,
+                           bs_ref, we_ref, be_ref, win_ref, bin_ref, wrs_ref,
+                           brs_ref, g_ref, z_ref, ld_ref, zp_ref, skipm_ref,
+                           xs_ref, th_ref, sg_ref, *, st):
+    """Forward that additionally writes the store-mode residuals to HBM:
+    the WN per-layer inputs + gates (xs/th/sg, as wn_pallas._fwd_save_kernel)
+    plus zp (the post-affine split point — yields x0/x1 without re-running
+    the A matmul) and skipm (the end conv's input — rebuilding it would
+    cost L res_skip matmuls).  out/m/logs are NOT stored: backward
+    recomputes them from skipm with one [t, h]x[h, c] matmul."""
+    st = dict(st, seed=seed_ref[0] + pl.program_id(0))
+    refs = (a_ref, ba_ref, ws_ref, bs_ref, we_ref, be_ref,
+            win_ref, bin_ref, wrs_ref, brs_ref, g_ref)
+    collect = (_SaveView(xs_ref), _SaveView(th_ref), _SaveView(sg_ref))
+    z, ld, loc = _block_fwd_math(
+        x_ref[0], mask_ref[0], refs, st, collect=collect
+    )
+    z_ref[0] = z.astype(z_ref.dtype)
+    ld_ref[0] = jnp.full((8, 128), ld, jnp.float32)
+    zp_ref[0] = loc["zp"]
+    skipm_ref[0] = loc["skipm"]
+
+
+def _block_bwd_store_kernel(seed_ref, x_ref, mask_ref, a_ref, ws_ref,
+                            we_ref, be_ref, win_ref, wrs_ref,
+                            zp_ref, skipm_ref, xs_ref, th_ref, sg_ref,
+                            dz_ref, dld_ref,
+                            dx_ref, da_ref, dba_ref, dws_ref, dbs_ref,
+                            dwe_ref, dbe_ref, dwin_ref, dbin_ref, dwrs_ref,
+                            dbrs_ref, dg_ref, *, st):
+    """Backward from forward-saved residuals: no recompute pass at all.
+    Mirrors _block_bwd_kernel's math with loads from HBM instead of the
+    recompute's locals; dropout keep masks are replayed from the PRNG."""
+    t, c = x_ref.shape[1], x_ref.shape[2]
+    c2 = c // 2
+    h = ws_ref.shape[1]
+    dtype = x_ref.dtype
+    mask = mask_ref[0]
+    maskf = mask.astype(jnp.float32)
+    st = dict(st, seed=seed_ref[0] + pl.program_id(0))
+
+    _zero_weight_accs(dwin_ref, dbin_ref, dwrs_ref, dbrs_ref)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _zero_block_accs():
+        da_ref[...] = jnp.zeros_like(da_ref)
+        dba_ref[...] = jnp.zeros_like(dba_ref)
+        dws_ref[...] = jnp.zeros_like(dws_ref)
+        dbs_ref[...] = jnp.zeros_like(dbs_ref)
+        dwe_ref[...] = jnp.zeros_like(dwe_ref)
+        dbe_ref[...] = jnp.zeros_like(dbe_ref)
+
+    zp = zp_ref[0]
+    x0, x1 = zp[:, :c2], zp[:, c2:]
+    x1f = x1.astype(jnp.float32)
+    skipm = skipm_ref[0]
+    # recompute out/m/logs from the stored skipm — EXACTLY the forward's
+    # op order (dot f32 + bias, cast to dtype, then f32 slices)
+    out = (
+        jnp.dot(skipm, we_ref[...], preferred_element_type=jnp.float32)
+        + be_ref[0].astype(jnp.float32)[None, :]
+    ).astype(dtype)
+    logs_raw = out[:, c2:].astype(jnp.float32)
+    logs = _apply_logs_transform(logs_raw, st["sigmoid_scale"])
+    e_logs = jnp.exp(logs)
+
+    # ---- affine coupling + end conv (identical to _block_bwd_kernel) ----
+    dz = dz_ref[0].astype(jnp.float32)
+    dld = dld_ref[0, 0, 0]
+    dz0 = dz[:, :c2]
+    dz1m = dz[:, c2:] * maskf
+    dm = dz1m
+    dlogs = dz1m * e_logs * x1f + dld * maskf  # ld = sum(logs * mask)
+    if st["sigmoid_scale"]:
+        sgm = jax.nn.sigmoid(logs_raw + 2.0)
+        dlogs = dlogs * (sgm * (1.0 - sgm)) / (1e-6 + sgm)
+    dout = jnp.concatenate([dm, dlogs], axis=1)  # [t, c] f32
+    dwe_ref[...] += jnp.dot(
+        skipm.T, dout.astype(dtype), preferred_element_type=jnp.float32
+    )
+    dbe_ref[0] += jnp.sum(dout, axis=0)
+    dskip = (
+        jnp.dot(dout.astype(dtype), we_ref[...].T,
+                preferred_element_type=jnp.float32)
+        * maskf
+    )
+
+    # ---- WN reverse walk (loads from the HBM-stored residuals) ----
+    def load(l):
+        keepf = (
+            _regen_keep(l, (t, 2 * h), st)
+            if st["drop_threshold"] is not None
+            else None
+        )
+        return (
+            xs_ref[0, l],
+            th_ref[0, l].astype(jnp.float32),
+            sg_ref[0, l].astype(jnp.float32),
+            keepf,
+        )
+
+    dh0 = _reverse_walk(
+        load, mask, dskip.astype(dtype), win_ref, wrs_ref,
+        dwin_ref, dbin_ref, dwrs_ref, dbrs_ref, dg_ref,
+        st=st, t=t, h=h, dtype=dtype,
+    )
+
+    # ---- start conv:  h0 = (x0 @ W_s + b_s) * mask ----
+    d_pre = dh0 * maskf
+    dws_ref[...] += jnp.dot(
+        x0.T, d_pre.astype(dtype), preferred_element_type=jnp.float32
+    )
+    dbs_ref[0] += jnp.sum(d_pre, axis=0)
+    dx0 = dz0 + jnp.dot(
+        d_pre.astype(dtype), ws_ref[...].T, preferred_element_type=jnp.float32
+    )
+    dx1 = dz1m * e_logs
+
+    # ---- folded actnorm∘invconv:  zp = (x @ A + bA) * mask ----
+    dzp = jnp.concatenate([dx0, dx1], axis=1) * maskf
+    da_ref[...] += jnp.dot(
+        x_ref[0].T, dzp.astype(dtype), preferred_element_type=jnp.float32
+    )
+    dba_ref[0] += jnp.sum(dzp, axis=0)
+    dx_ref[0] = jnp.dot(
+        dzp.astype(dtype), a_ref[...].T, preferred_element_type=jnp.float32
+    ).astype(dx_ref.dtype)
 
 
 def _block_bwd_kernel(seed_ref, x_ref, mask_ref, a_ref, ba_ref, ws_ref,
@@ -244,6 +398,7 @@ def _block_bwd_kernel(seed_ref, x_ref, mask_ref, a_ref, ba_ref, ws_ref,
 def _flow_block_call(
     A, bA, W_s, b_s, W_e, b_e, W_in, b_in, W_rs, b_rs, x, x_mask, g_all,
     seed_f, *, st, interpret, with_grad=False, dz=None, dld=None,
+    mode="fwd",
 ):
     from .shardwrap import shard_per_sample
 
@@ -273,6 +428,33 @@ def _flow_block_call(
         ]
         args = [x, x_mask, A, bA, W_s, b_s, W_e, b_e, W_in, b_in, W_rs,
                 b_rs, g_all]
+
+        if not with_grad and mode == "fwd_save":
+            kernel = functools.partial(_block_fwd_save_kernel, st=st)
+            res = per_b((1, L, t, h))
+            return pl.pallas_call(
+                kernel,
+                grid_spec=pltpu.PrefetchScalarGridSpec(
+                    num_scalar_prefetch=1,
+                    grid=(b,),
+                    in_specs=in_specs,
+                    out_specs=(
+                        per_b((1, t, c)), per_b((1, 8, 128)),
+                        per_b((1, t, c)), per_b((1, t, h)),
+                        res, res, res,
+                    ),
+                ),
+                out_shape=(
+                    jax.ShapeDtypeStruct((b, t, c), x.dtype),
+                    jax.ShapeDtypeStruct((b, 8, 128), jnp.float32),   # ld
+                    jax.ShapeDtypeStruct((b, t, c), x.dtype),         # zp
+                    jax.ShapeDtypeStruct((b, t, h), x.dtype),         # skipm
+                    jax.ShapeDtypeStruct((b, L, t, h), x.dtype),      # xs
+                    jax.ShapeDtypeStruct((b, L, t, h), x.dtype),      # tanh
+                    jax.ShapeDtypeStruct((b, L, t, h), x.dtype),      # sigmoid
+                ),
+                interpret=interpret,
+            )(seed_f, *args)
 
         if not with_grad:
             kernel = functools.partial(_block_fwd_kernel, st=st)
@@ -342,7 +524,7 @@ def _flow_block_call(
                  W_rs, b_rs, g_all)
     in_dims = [None, 0, 0] + [None] * 10 + [0]
     if not with_grad:
-        out_dims = (0, 0)
+        out_dims = (0,) * 7 if mode == "fwd_save" else (0, 0)
     else:
         call_args += (dz, dld)
         in_dims += [0, 0]
@@ -353,9 +535,95 @@ def _flow_block_call(
     )
 
 
+def _block_bwd_store_call(
+    A, W_s, W_e, b_e, W_in, W_rs, x, x_mask, zp, skipm, xs, th, sg,
+    dz, dld, seed_f, *, st, interpret,
+):
+    """Backward pallas_call for residual-store mode (weights the walk
+    actually touches only; bias grads are reductions of the cotangents)."""
+    from .shardwrap import shard_per_sample
+
+    L = st["n_layers"]
+
+    def impl(seed_f, x, x_mask, A, W_s, W_e, b_e, W_in, W_rs,
+             zp, skipm, xs, th, sg, dz, dld):
+        b, t, c = x.shape
+        h = W_s.shape[1]
+        Kh = W_in.shape[1]
+        const, per_b = _specs()
+        res = per_b((1, L, t, h))
+        in_specs = [
+            per_b((1, t, c)),        # x
+            per_b((1, t, 1)),        # mask
+            const((c, c)),           # A
+            const((c // 2, h)),      # W_start
+            const((h, c)),           # W_end
+            const((1, c)),           # b_end
+            const((L, Kh, 2 * h)),   # W_in
+            const((L, h, 2 * h)),    # W_rs
+            per_b((1, t, c)),        # zp
+            per_b((1, t, h)),        # skipm
+            res, res, res,           # xs, th, sg
+            per_b((1, t, c)),        # dz
+            per_b((1, 8, 128)),      # dld
+        ]
+        out_shapes = (
+            jax.ShapeDtypeStruct((b, t, c), x.dtype),           # dx
+            jax.ShapeDtypeStruct((c, c), jnp.float32),           # dA
+            jax.ShapeDtypeStruct((1, c), jnp.float32),           # dbA
+            jax.ShapeDtypeStruct((c // 2, h), jnp.float32),      # dW_start
+            jax.ShapeDtypeStruct((1, h), jnp.float32),           # db_start
+            jax.ShapeDtypeStruct((h, c), jnp.float32),           # dW_end
+            jax.ShapeDtypeStruct((1, c), jnp.float32),           # db_end
+            jax.ShapeDtypeStruct((L, Kh, 2 * h), jnp.float32),   # dW_in
+            jax.ShapeDtypeStruct((L, 2 * h), jnp.float32),       # db_in
+            jax.ShapeDtypeStruct((L, h, 2 * h), jnp.float32),    # dW_rs
+            jax.ShapeDtypeStruct((L, 2 * h), jnp.float32),       # db_rs
+            jax.ShapeDtypeStruct((b, L, 2 * h), jnp.float32),    # dg
+        )
+        out_specs = (
+            per_b((1, t, c)),
+            const((c, c)),
+            const((1, c)),
+            const((c // 2, h)),
+            const((1, h)),
+            const((h, c)),
+            const((1, c)),
+            const((L, Kh, 2 * h)),
+            const((L, 2 * h)),
+            const((L, h, 2 * h)),
+            const((L, 2 * h)),
+            per_b((1, L, 2 * h)),
+        )
+        kernel = functools.partial(_block_bwd_store_kernel, st=st)
+        return pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(b,),
+                in_specs=in_specs,
+                out_specs=out_specs,
+            ),
+            out_shape=out_shapes,
+            interpret=interpret,
+        )(seed_f, x, x_mask, A, W_s, W_e, b_e, W_in, W_rs, zp, skipm,
+          xs, th, sg, dz, dld)
+
+    return shard_per_sample(
+        impl,
+        (seed_f, x, x_mask, A, W_s, W_e, b_e, W_in, W_rs, zp, skipm,
+         xs, th, sg, dz, dld),
+        b=x.shape[0],
+        in_dims=[None, 0, 0] + [None] * 6 + [0] * 7,
+        out_dims=(0,) + (None,) * 10 + (0,),
+        seed_arg=0,
+    )
+
+
 class _BlockKey(typing.NamedTuple):
     st: tuple
     interpret: bool
+    residuals: str = "recompute"  # inverse kernel ignores this
 
 
 def _st_from_key(key: "_BlockKey") -> dict:
@@ -372,9 +640,13 @@ def _st_from_key(key: "_BlockKey") -> dict:
 @functools.lru_cache(maxsize=None)
 def _make_block_fn(key: "_BlockKey"):
     """custom_vjp flow-block function per static config (same seed-as-
-    argument discipline as wn_pallas._make_fused_fn)."""
+    argument discipline as wn_pallas._make_fused_fn).  ``key.residuals``
+    picks the backward strategy: "recompute" re-runs the forward in the
+    backward kernel; "store" saves zp/skipm/xs/th/sg to HBM in forward and
+    backward skips the recompute (see module docstring for the trade)."""
     interpret = key.interpret
     st = dict(_st_from_key(key), interpret=interpret)
+    store = key.residuals == "store"
 
     @jax.custom_vjp
     def f(A, bA, W_s, b_s, W_e, b_e, W_in, b_in, W_rs, b_rs, x, x_mask,
@@ -387,25 +659,42 @@ def _make_block_fn(key: "_BlockKey"):
 
     def f_fwd(A, bA, W_s, b_s, W_e, b_e, W_in, b_in, W_rs, b_rs, x, x_mask,
               g_all, seed_f):
+        if store:
+            z, ld, zp, skipm, xs, th, sg = _flow_block_call(
+                A, bA, W_s, b_s, W_e, b_e, W_in, b_in, W_rs, b_rs, x,
+                x_mask, g_all, seed_f, st=st, interpret=interpret,
+                mode="fwd_save",
+            )
+            return (z, ld[:, 0, 0]), (
+                A, bA, W_s, b_s, W_e, b_e, W_in, b_in, W_rs, b_rs, x,
+                x_mask, g_all, seed_f, zp, skipm, xs, th, sg,
+            )
         out = f(A, bA, W_s, b_s, W_e, b_e, W_in, b_in, W_rs, b_rs, x,
                 x_mask, g_all, seed_f)
         return out, (A, bA, W_s, b_s, W_e, b_e, W_in, b_in, W_rs, b_rs, x,
-                     x_mask, g_all, seed_f)
+                     x_mask, g_all, seed_f, None, None, None, None, None)
 
     def f_bwd(res, cot):
         (A, bA, W_s, b_s, W_e, b_e, W_in, b_in, W_rs, b_rs, x, x_mask,
-         g_all, seed_f) = res
+         g_all, seed_f, zp, skipm, xs, th, sg) = res
         dz, dld = cot
         b = x.shape[0]
         dld_pad = jnp.broadcast_to(
             dld.astype(jnp.float32)[:, None, None], (b, 8, 128)
         )
-        (dx, dA, dbA, dws, dbs, dwe, dbe, dwin, dbin, dwrs, dbrs,
-         dg) = _flow_block_call(
-            A, bA, W_s, b_s, W_e, b_e, W_in, b_in, W_rs, b_rs, x, x_mask,
-            g_all, seed_f, st=st, interpret=interpret, with_grad=True,
-            dz=dz, dld=dld_pad,
-        )
+        if store:
+            (dx, dA, dbA, dws, dbs, dwe, dbe, dwin, dbin, dwrs, dbrs,
+             dg) = _block_bwd_store_call(
+                A, W_s, W_e, b_e, W_in, W_rs, x, x_mask, zp, skipm,
+                xs, th, sg, dz, dld_pad, seed_f, st=st, interpret=interpret,
+            )
+        else:
+            (dx, dA, dbA, dws, dbs, dwe, dbe, dwin, dbin, dwrs, dbrs,
+             dg) = _flow_block_call(
+                A, bA, W_s, b_s, W_e, b_e, W_in, b_in, W_rs, b_rs, x,
+                x_mask, g_all, seed_f, st=st, interpret=interpret,
+                with_grad=True, dz=dz, dld=dld_pad,
+            )
         return (
             dA.astype(A.dtype),
             dbA[0].astype(bA.dtype).reshape(bA.shape),
@@ -745,6 +1034,7 @@ def flow_block_fused_folded(
     rng: typing.Optional[jax.Array] = None,
     deterministic: bool = True,
     interpret: typing.Optional[bool] = None,
+    residuals: str = "recompute",
 ) -> typing.Tuple[jnp.ndarray, jnp.ndarray]:
     """Training-forward of one flow block from pre-folded kernel weights.
 
@@ -752,7 +1042,11 @@ def flow_block_fused_folded(
     coupling's per-sample logdet Σ logs·mask [b] (f32).  The actnorm and
     invconv logdet terms depend only on weights and x_len and stay in the
     caller (flows.decoder_fwd).  Inference/reverse and DDI use the op-by-op
-    path (they run once, not per step)."""
+    path (they run once, not per step).  ``residuals``: backward strategy —
+    "recompute" (in-kernel forward recompute) or "store" (forward saves
+    zp/skipm/xs/th/sg to HBM; pair with UNROLLED blocks or the residuals
+    become DUS-stacked scan outputs — BASELINE.md round 4)."""
+    assert residuals in ("recompute", "store"), residuals
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
@@ -784,7 +1078,7 @@ def flow_block_fused_folded(
         (1.0 / (1.0 - p_dropout)) if drop else 1.0,
         bool(sigmoid_scale),
     )
-    fn = _make_block_fn(_BlockKey(st, interpret))
+    fn = _make_block_fn(_BlockKey(st, interpret, residuals))
     mask = jnp.broadcast_to(x_mask.astype(x.dtype), (b, t, 1))
     z, ld = fn(
         folded["A"], folded["bA"], folded["W_s"], folded["b_s"],
@@ -809,6 +1103,7 @@ def flow_block_fused(
     rng: typing.Optional[jax.Array] = None,
     deterministic: bool = True,
     interpret: typing.Optional[bool] = None,
+    residuals: str = "recompute",
 ) -> typing.Tuple[jnp.ndarray, jnp.ndarray]:
     """One-block convenience wrapper: fold this block's weights, then run
     the fused kernel (see flow_block_fused_folded).  decoder_fwd uses the
@@ -831,4 +1126,5 @@ def flow_block_fused(
         dilation_rate=dilation_rate, n_layers=n_layers,
         sigmoid_scale=sigmoid_scale, p_dropout=p_dropout, rng=rng,
         deterministic=deterministic, interpret=interpret,
+        residuals=residuals,
     )

@@ -528,6 +528,7 @@ def decoder_fwd(
             p_dropout=hp.p_dropout,
             rng=brng,
             deterministic=deterministic,
+            residuals=hp.wn_residuals,
         )
         return (x, logdet_tot + ld1 + ld2 + ld3, i + 1), None
 

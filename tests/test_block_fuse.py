@@ -77,8 +77,12 @@ def _inputs(b=2, t=24, c=80, gin=0, seed=1):
         {"kernel_size": 3, "dilation_rate": 2, "n_layers": 3},
         {"n_split": 8, "n_sqz": 1},
         {"remat": "wn"},
+        {"wn_residuals": "store", "unroll": True},
+        {"wn_residuals": "store", "unroll": True, "sigmoid_scale": True,
+         "gin_channels": 16},
     ],
-    ids=["base", "sigmoid", "gin", "k3d2L3", "split8sqz1", "remat_wn"],
+    ids=["base", "sigmoid", "gin", "k3d2L3", "split8sqz1", "remat_wn",
+         "store_unroll", "store_unroll_sig_gin"],
 )
 def test_fused_block_matches_op_by_op(over):
     hp_ref, hp_fused = _decoder_pair(**over)
@@ -104,24 +108,38 @@ def test_fused_block_matches_op_by_op(over):
 
 
 def test_fused_block_train_step_equivalent():
-    """Full jitted train step: same loss/grad-norm as the unfused path."""
+    """Full jitted train step: same loss/grad-norm trajectory across the
+    unfused path, the recompute-mode block kernel, and the round-4
+    store+unroll block kernel (the TPU default combination)."""
     from glow_tts_train_tpu import training
 
+    variants = {
+        "unfused": {"flow_block_fuse": False},
+        "fused_recompute": {"flow_block_fuse": True},
+        "fused_store_unroll": {
+            "flow_block_fuse": True,
+            "wn_residuals": "store",
+            "unroll_blocks": True,
+        },
+    }
     losses = {}
-    for fuse in (False, True):
+    for name, over in variants.items():
         config = dataclasses.replace(
             tiny_config(p_dropout=0.0, p_dropout_dec=0.0),
             wn_impl="pallas",
             remat_blocks="none",
-            flow_block_fuse=fuse,
+            **over,
         )
         batch = random_batch(config, np.random.default_rng(7))
         state = training.create_state(config, jax.random.PRNGKey(0))
         step_fn = training.make_train_step(config, donate=False)
         for i in range(3):
             state, metrics = step_fn(state, batch, jax.random.PRNGKey(i))
-        losses[fuse] = (float(metrics["loss"]), float(metrics["grad_norm"]))
-    assert np.allclose(losses[True], losses[False], rtol=1e-5), losses
+        losses[name] = (float(metrics["loss"]), float(metrics["grad_norm"]))
+    for name in ("fused_recompute", "fused_store_unroll"):
+        assert np.allclose(losses[name], losses["unfused"], rtol=1e-5), (
+            name, losses,
+        )
 
 
 def test_fused_block_roundtrip():
@@ -211,16 +229,19 @@ def test_fused_inverse_gen_path():
     np.testing.assert_allclose(outs[True][0], outs[False][0], atol=2e-5)
 
 
-def test_fused_block_inkernel_dropout_grads():
+@pytest.mark.parametrize("residuals", ["recompute", "store"])
+def test_fused_block_inkernel_dropout_grads(residuals):
     """Autodiff-oracle check of the block kernel's custom-VJP gradients
     with in-kernel dropout ACTIVE: the kernel's own forward math is pure
     jnp, so running it outside Pallas with the same portable masks and
     jax.grad-ing it gives the exact jacobian the hand-written backward
     must reproduce — including the dropout branches the dropout-off
-    parity tests cannot reach.  On a TPU backend the kernel is forced to
-    interpret mode for that exact comparison (the real kernel draws
-    hardware PRNG bits no oracle can replay) and the hardware path is
-    additionally checked by central differences through the real kernel."""
+    parity tests cannot reach (store mode additionally exercises the
+    PRNG keep-mask REPLAY in _block_bwd_store_kernel).  On a TPU backend
+    the kernel is forced to interpret mode for that exact comparison (the
+    real kernel draws hardware PRNG bits no oracle can replay) and the
+    hardware path is additionally checked by central differences through
+    the real kernel."""
     import jax.flatten_util as fu2
     from glow_tts_train_tpu.ops import block_pallas as bp
     from glow_tts_train_tpu.ops.wn_pallas import _offsets, portable_ops
@@ -248,6 +269,7 @@ def test_fused_block_inkernel_dropout_grads():
             rng=key,
             deterministic=False,
             interpret=interpret,
+            residuals=residuals,
         )
 
     thr = np.uint32(min(round(p_drop * 2 ** 32), 2 ** 32 - 1))
@@ -443,9 +465,9 @@ def test_block_fuse_auto_resolution():
     assert hp.block_fuse is False
     assert _resolve_block_fuse("auto", "pallas", "recompute") is True
     assert _resolve_block_fuse("auto", "xla", "recompute") is False
-    # the block kernel has no residual-store backward: store+unroll (the
-    # round-4 TPU default) disables the training-forward block fuse
-    assert _resolve_block_fuse("auto", "pallas", "store") is False
+    # the block kernel supports the store backward too (round 4): the
+    # store+unroll TPU default keeps the whole block fused
+    assert _resolve_block_fuse("auto", "pallas", "store") is True
     assert _resolve_block_fuse(False, "pallas", "recompute") is False
     assert _resolve_block_fuse(True, "xla", "store") is True  # explicit wins
 
