@@ -448,12 +448,14 @@ def main():
     _log(f"rpc baseline (diagnostic): {rpc_base * 1e3:.2f} ms")
 
     step_time, frames_per_sec = bench_train(config)
-    # larger batches amortize weight traffic; with the round-4 default
-    # (store+unroll backward) the sweep is flat from b=96 up —
-    # 96:1.382M / 128:1.385M / 160:1.361M / 192:1.386M f/s measured — so
-    # b=128 and b=192 both sit at the peak; both kept for history.
+    # larger batches amortize weight traffic; with the round-4b default
+    # (block-kernel store backward + unroll) the sweep keeps rising gently
+    # past b=192 — 192:1.439M / 224:1.445M / 256:1.450M f/s measured — so
+    # b=256 is the new peak point; 128/192 kept for round-over-round
+    # history.
     step_time_b128, frames_per_sec_b128 = bench_train(config, b=128)
     step_time_b192, frames_per_sec_b192 = bench_train(config, b=192)
+    step_time_b256, frames_per_sec_b256 = bench_train(config, b=256)
     rtf, infer_time, infer_frames = bench_infer_rtf(config)
     rtf_b8, infer_time_b8, infer_frames_b8 = bench_infer_rtf(config, b=8)
     enc_ms, dec_ms, fwd_ms = bench_breakdown(config)
@@ -508,12 +510,24 @@ def main():
         )
 
     try:
-        _log("bench_train[large]: configs/large.json b=64")
-        step_large, fps_large = bench_train(_preset("large.json"), b=64)
+        # b=128 is the large config's measured peak (sweep 2026-08-19:
+        # 64:759k / 96:793k / 128:815k f/s — MFU 0.92 at b=128; the wide
+        # model maps near-perfectly onto the MXU)
+        _log("bench_train[large]: configs/large.json b=128")
+        cfg_large = _preset("large.json")
+        step_large, fps_large = bench_train(cfg_large, b=128)
+        from glow_tts_train_tpu.models import hyper_from_config as _hfc
+        from glow_tts_train_tpu.utils.flops import (
+            training_flops as _tflops,
+        )
+
+        fl_large = _tflops(_hfc(cfg_large), 128, 128, 640)
+        peak_fl, _ = chip_peak_bf16_flops()
         large_row = {
             "large_frames_per_sec": round(fps_large, 1),
             "large_step_time_ms": round(step_large * 1e3, 2),
-            "large_batch": 64,
+            "large_batch": 128,
+            "large_mfu": round(fl_large / step_large / peak_fl, 4),
         }
     except Exception as exc:
         large_row = {"large_frames_per_sec": f"error: {type(exc).__name__}"}
@@ -543,6 +557,7 @@ def main():
         32: (step_time, frames_per_sec),
         128: (step_time_b128, frames_per_sec_b128),
         192: (step_time_b192, frames_per_sec_b192),
+        256: (step_time_b256, frames_per_sec_b256),
     }
     headline_batch = max(by_batch, key=lambda b: by_batch[b][1])
     peak_fps = by_batch[headline_batch][1]
@@ -566,14 +581,19 @@ def main():
             "frames_per_sec_b32": round(frames_per_sec, 1),
             "frames_per_sec_b128": round(frames_per_sec_b128, 1),
             "frames_per_sec_b192": round(frames_per_sec_b192, 1),
+            "frames_per_sec_b256": round(frames_per_sec_b256, 1),
             "train_step_time_ms_b128": round(step_time_b128 * 1e3, 2),
             "train_step_time_ms_b192": round(step_time_b192 * 1e3, 2),
+            "train_step_time_ms_b256": round(step_time_b256 * 1e3, 2),
             "mfu": round(achieved / peak, 4),
             "mfu_b128": round(
                 (4 * flops_per_step / step_time_b128) / peak, 4
             ),
             "mfu_b192": round(
                 (6 * flops_per_step / step_time_b192) / peak, 4
+            ),
+            "mfu_b256": round(
+                (8 * flops_per_step / step_time_b256) / peak, 4
             ),
             "achieved_tflops": round(achieved / 1e12, 2),
             "chip": chip,
