@@ -14,10 +14,12 @@ Capability parity with reference `export.py` (TorchScript) and
   graph leaves JAX entirely and runs under stock TensorFlow, and is the
   direct input to ``tf2onnx`` where that toolchain exists.
 * ``--format onnx`` — a true ``generator.onnx`` (reference
-  export_onnx.py:105-118) converted from the SavedModel function with
-  ``tf2onnx``.  This environment ships no onnx/tf2onnx, so here the command
-  fails with a clear message pointing at the two formats above — it does
-  NOT silently emit a different format under the ONNX name.
+  export_onnx.py:105-118) built natively by the first-party exporter
+  (onnx/export.py: the generation graph hand-lowered to opset-12 ONNX on
+  our own protobuf wire codec — no torch, no tf2onnx, no onnx package).
+  Unlike the reference's traced export it has fully dynamic batch/phoneme/
+  time axes.  Runs under onnxruntime where installed, and under the
+  framework's own numpy executor (onnx/runtime.py) everywhere else.
 
 Every exported callable mirrors the ONNX signature (export_onnx.py:73-86):
 
@@ -157,36 +159,16 @@ def export_onnx(
     params, config, max_text_length: int, max_frames: int, output_dir: Path,
     speaker: int = 0,
 ) -> None:
-    """Write a true .onnx (via tf2onnx) — or fail with a clear message."""
-    try:
-        import tf2onnx  # noqa: F401
-    except ImportError:
-        raise SystemExit(
-            "ONNX export needs the tf2onnx + onnx packages, which are not "
-            "installed here. Use '--format stablehlo' (TPU/CPU-portable "
-            "jax.export artifact) or '--format savedmodel' (runs under "
-            "stock TensorFlow; feed it to `python -m tf2onnx.convert "
-            "--saved-model <dir>` on a machine with the ONNX toolchain)."
-        )
-    import tf2onnx
+    """Write a true opset-12 .onnx via the native exporter (onnx/export.py).
 
-    tf_fn = _tf_function(
-        params, config, max_text_length, max_frames, speaker=speaker
-    )
-    import tensorflow as tf
+    The graph carries dynamic batch/phoneme/time axes, so the static
+    ``max_text_length``/``max_frames`` budgets do not apply (accepted for
+    CLI signature uniformity; recorded in the meta as advisory only)."""
+    del max_text_length, max_frames  # ONNX graphs are fully dynamic
+    from .onnx.export import export_generator_onnx
 
-    model_proto, _ = tf2onnx.convert.from_function(
-        tf_fn,
-        input_signature=[
-            tf.TensorSpec((1, max_text_length), tf.int32, name="input"),
-            tf.TensorSpec((1,), tf.int32, name="input_lengths"),
-            tf.TensorSpec((2,), tf.float32, name="scales"),
-            tf.TensorSpec((), tf.int32, name="seed"),
-        ],
-        opset=17,
-        output_path=str(output_dir / ONNX_NAME),
-    )
-    del model_proto
+    blob = export_generator_onnx(params, config, speaker=speaker)
+    (output_dir / ONNX_NAME).write_bytes(blob)
 
 
 def main(argv=None):
@@ -202,8 +184,9 @@ def main(argv=None):
         default="stablehlo",
         choices=FORMATS,
         help="Artifact format (stablehlo: jax.export, tpu+cpu; savedmodel: "
-        "TensorFlow SavedModel via jax2tf; onnx: true .onnx via tf2onnx "
-        "where that toolchain is installed)",
+        "TensorFlow SavedModel via jax2tf; onnx: true opset-12 .onnx via "
+        "the native exporter — dynamic axes, runs under onnxruntime or "
+        "the built-in numpy executor)",
     )
     parser.add_argument(
         "--max-text-length", type=int, default=256, help="Static phoneme budget"

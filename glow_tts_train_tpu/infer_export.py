@@ -1,5 +1,5 @@
 #!/usr/bin/env python3
-"""Run an exported StableHLO artifact (the onnxruntime-equivalent CLI).
+"""Run an exported artifact: StableHLO, SavedModel, or true .onnx.
 
 Contract parity with reference `infer_onnx.py:20-162`: same stdin/stdout
 JSONL interface as the torch infer CLI, default ``--noise-scale`` 0.667
@@ -63,23 +63,78 @@ def run(
     """Stream stdin utterances through an exported artifact (library entry —
     the torch-infer CLI delegates here for export-directory inputs).
 
-    Artifact type is detected from the directory contents: a StableHLO
+    Artifact type is detected from the path: a StableHLO
     ``generator.stablehlo`` runs via jax.export; a TensorFlow SavedModel
-    (``saved_model.pb``) runs under stock TF — no JAX involved."""
+    (``saved_model.pb``) runs under stock TF — no JAX involved; a
+    ``generator.onnx`` (or a direct path to any ``.onnx`` file — the
+    reference CLI contract, infer_onnx.py:24) runs under onnxruntime where
+    installed and the built-in numpy executor (onnx/runtime.py) elsewhere."""
     import numpy as np
 
     from .config import TrainingConfig
-    from .export import ARTIFACT_NAME, META_NAME
+    from .export import ARTIFACT_NAME, META_NAME, ONNX_NAME
 
     model_dir = Path(model_dir)
-    with open(model_dir / "config.json") as config_file:
-        config = TrainingConfig.load(config_file)
-    with open(model_dir / META_NAME) as meta_file:
-        meta = json.load(meta_file)
-    max_text_length = int(meta["max_text_length"])
+    onnx_file = None
+    if model_dir.is_file():
+        if model_dir.suffix != ".onnx":
+            raise SystemExit(
+                f"{model_dir} is a file but not .onnx; pass an export "
+                "directory or a .onnx path"
+            )
+        onnx_file = model_dir
+        model_dir = model_dir.parent
+    elif (
+        (model_dir / ONNX_NAME).exists()
+        and not (model_dir / ARTIFACT_NAME).exists()
+        and not (model_dir / "saved_model.pb").exists()
+    ):
+        onnx_file = model_dir / ONNX_NAME
+
+    if (model_dir / "config.json").exists():
+        with open(model_dir / "config.json") as config_file:
+            config = TrainingConfig.load(config_file)
+    elif onnx_file is not None:
+        # an externally-produced .onnx may arrive bare; audio metadata
+        # falls back to defaults (the reference requires --config for the
+        # same reason, infer_onnx.py:60-64)
+        _LOGGER.warning("no config.json next to %s; using defaults", onnx_file)
+        config = TrainingConfig()
+    else:
+        raise SystemExit(f"missing {model_dir / 'config.json'}")
+    max_text_length = None
+    if (model_dir / META_NAME).exists():
+        with open(model_dir / META_NAME) as meta_file:
+            meta = json.load(meta_file)
+        max_text_length = int(meta["max_text_length"])
 
     start_time = time.perf_counter()
-    if (model_dir / ARTIFACT_NAME).exists():
+    if onnx_file is not None:
+        try:
+            import onnxruntime
+
+            sess = onnxruntime.InferenceSession(str(onnx_file))
+            backend = "onnxruntime"
+        except ImportError:
+            from .onnx import OnnxRuntime
+
+            sess = OnnxRuntime.from_file(onnx_file, seed=seed)
+            backend = "glow_tts_train_tpu.onnx.runtime (numpy)"
+        _LOGGER.debug("ONNX backend: %s", backend)
+
+        def call_fn(text, text_lengths, scales, seed):
+            del seed  # noise rides the graph's RandomNormalLike node
+            out = sess.run(
+                None,
+                {
+                    "input": np.asarray(text, np.int64),
+                    "input_lengths": np.asarray(text_lengths, np.int64),
+                    "scales": np.asarray(scales, np.float32),
+                },
+            )
+            return np.asarray(out[0]), np.asarray(out[1])
+
+    elif (model_dir / ARTIFACT_NAME).exists():
         import jax
 
         from .utils.stdio import apply_platform
@@ -138,18 +193,25 @@ def run(
         for utt_id, phoneme_ids in stdin_utterances(
             csv, config.model.num_symbols, skipped=skipped
         ):
-            if len(phoneme_ids) > max_text_length:
-                _LOGGER.warning(
-                    "Utterance %s longer than export budget (%s > %s); truncating",
-                    utt_id,
-                    len(phoneme_ids),
-                    max_text_length,
-                )
-                phoneme_ids = phoneme_ids[:max_text_length]
+            if onnx_file is not None:
+                # ONNX graphs have dynamic axes: exact shapes, no padding
+                text = np.asarray(phoneme_ids, np.int64)[None, :]
+                text_lengths = np.asarray([len(phoneme_ids)], np.int64)
+            else:
+                if max_text_length is None:
+                    raise SystemExit(f"missing {model_dir / META_NAME}")
+                if len(phoneme_ids) > max_text_length:
+                    _LOGGER.warning(
+                        "Utterance %s longer than export budget (%s > %s); truncating",
+                        utt_id,
+                        len(phoneme_ids),
+                        max_text_length,
+                    )
+                    phoneme_ids = phoneme_ids[:max_text_length]
 
-            text = np.zeros((1, max_text_length), np.int32)
-            text[0, : len(phoneme_ids)] = phoneme_ids
-            text_lengths = np.asarray([len(phoneme_ids)], np.int32)
+                text = np.zeros((1, max_text_length), np.int32)
+                text[0, : len(phoneme_ids)] = phoneme_ids
+                text_lengths = np.asarray([len(phoneme_ids)], np.int32)
 
             start_time = time.perf_counter()
             mel, mel_lengths = call_fn(text, text_lengths, scales, seed_arr)

@@ -1,5 +1,5 @@
-"""Export-format tests: SavedModel (jax2tf) round-trip and the honest ONNX
-failure mode (reference export_onnx.py:105-118 capability)."""
+"""Export-format tests: SavedModel (jax2tf) round-trip and the native ONNX
+artifact (reference export_onnx.py:105-118 capability)."""
 
 import numpy as np
 import pytest
@@ -148,20 +148,21 @@ def test_savedmodel_runs_via_infer_export_cli(tmp_path, capsys, monkeypatch):
     assert mel.shape[1] > 0 and np.isfinite(mel).all()
 
 
-def test_onnx_export_fails_with_clear_message(tmp_path):
-    """Without the ONNX toolchain, --format onnx must fail loudly and point
-    at the portable alternatives — never emit another format as ONNX."""
-    try:
-        import tf2onnx  # noqa: F401
-
-        pytest.skip("tf2onnx installed here; failure path not reachable")
-    except ImportError:
-        pass
+def test_onnx_export_is_native_and_toolchain_free(tmp_path):
+    """--format onnx needs NO third-party ONNX toolchain: the native
+    exporter (onnx/export.py) writes a true opset-12 generator.onnx in any
+    environment the framework runs in (reference capability
+    export_onnx.py:105-118; deep numeric parity in test_onnx_export.py)."""
+    from glow_tts_train_tpu.onnx import OnnxRuntime
 
     params, config = _tiny_params_and_config()
-    with pytest.raises(SystemExit, match="tf2onnx"):
-        export_onnx(params, config, MAX_TEXT, MAX_FRAMES, tmp_path)
-    assert not (tmp_path / "generator.onnx").exists()
+    export_onnx(params, config, MAX_TEXT, MAX_FRAMES, tmp_path)
+    onnx_path = tmp_path / "generator.onnx"
+    assert onnx_path.exists()
+    sess = OnnxRuntime.from_file(onnx_path)
+    assert [i.name for i in sess.get_inputs()] == [
+        "input", "input_lengths", "scales",
+    ]
 
 
 def test_multispeaker_export_bakes_speaker(tmp_path):
@@ -196,19 +197,16 @@ def test_multispeaker_export_bakes_speaker(tmp_path):
     assert np.abs(mels[0] - mels[1]).max() > 1e-6  # speaker actually conditions
 
 
-def test_onnx_export_and_runtime_roundtrip(tmp_path):
-    """The full .onnx chain — export, convert, run under onnxruntime, match
-    the live graph at noise=0 — wherever the ONNX toolchain exists (skips
-    in environments without tf2onnx/onnxruntime; the exact manual recipe is
-    pinned in docs/MIGRATING.md).  Reference capability:
-    export_onnx.py:105-118 + infer_onnx.py:120-128."""
-    pytest.importorskip("tf2onnx")
-    ort = pytest.importorskip("onnxruntime")
+def test_onnx_artifact_matches_live_graph(tmp_path):
+    """The CLI-exported generator.onnx, executed by the built-in numpy
+    runtime, reproduces the live JAX graph at noise=0 (the chain the
+    reference needs torch.onnx.export + onnxruntime for:
+    export_onnx.py:105-118 + infer_onnx.py:120-128).  Deeper per-config
+    parity lives in test_onnx_export.py."""
+    from glow_tts_train_tpu.onnx import OnnxRuntime
 
     params, config = _tiny_params_and_config()
     export_onnx(params, config, MAX_TEXT, MAX_FRAMES, tmp_path)
-    onnx_path = tmp_path / "generator.onnx"
-    assert onnx_path.exists()
 
     text = np.zeros((1, MAX_TEXT), np.int32)
     text[0, :7] = [3, 7, 12, 5, 9, 14, 2]
@@ -218,18 +216,21 @@ def test_onnx_export_and_runtime_roundtrip(tmp_path):
 
     infer_fn = build_infer_fn(params, config, MAX_FRAMES)
     mel_jax, len_jax = jax.jit(infer_fn)(text, text_lengths, scales, seed)
+    n = int(len_jax[0])
 
-    session = ort.InferenceSession(str(onnx_path))
+    session = OnnxRuntime.from_file(tmp_path / "generator.onnx")
     mel_onnx, len_onnx = session.run(
         None,
         {
-            "input": text,
-            "input_lengths": text_lengths,
+            "input": text[:, :7].astype(np.int64),
+            "input_lengths": text_lengths.astype(np.int64),
             "scales": scales,
-            "seed": seed,
         },
     )
-    assert int(len_onnx[0]) == int(len_jax[0])
+    assert int(len_onnx[0]) == n
     np.testing.assert_allclose(
-        np.asarray(mel_onnx), np.asarray(mel_jax), rtol=1e-3, atol=1e-3
+        np.asarray(mel_onnx)[0, :, :n],
+        np.asarray(mel_jax)[0, :, :n],
+        rtol=1e-3,
+        atol=1e-3,
     )
