@@ -8,7 +8,7 @@ first-party code:
 * proto.py    — the ModelProto protobuf wire format, hand-rolled
 * builder.py  — a GraphProto builder (nodes/initializers/dynamic dims)
 * export.py   — the Glow-TTS generation graph as opset-12 ONNX
-  (see export_onnx.py at the package root for the CLI)
+  (the CLI is ``glow_tts_train_tpu/export.py --format onnx``)
 * runtime.py  — a pure-numpy executor for the emitted op subset
 
 onnxruntime is still preferred at run time when importable; these modules

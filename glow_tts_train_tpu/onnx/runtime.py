@@ -50,22 +50,25 @@ def _op_conv(inputs, node):
     pads = _attr(node, "pads")
     d, s = int(dilations[0]), int(strides[0])
     k = w.shape[2]
+    n, c_in, t = x.shape
     if pads is None:
         auto = _attr(node, "auto_pad", "NOTSET")
         if auto in ("NOTSET", "VALID"):
             p0 = p1 = 0
         else:
-            total = max((k - 1) * d, 0)
+            # SAME_*: output length is ceil(t/s); total padding makes the
+            # strided window sweep cover exactly that many positions.
+            out_t = -(-t // s)
+            total = max((out_t - 1) * s + (k - 1) * d + 1 - t, 0)
             p0 = total // 2 if auto == "SAME_UPPER" else (total + 1) // 2
             p1 = total - p0
     else:
         p0, p1 = int(pads[0]), int(pads[1])
-    n, c_in, t = x.shape
     c_out = w.shape[0]
     xp = np.pad(x, ((0, 0), (0, 0), (p0, p1)))
     t_out = (xp.shape[2] - (k - 1) * d - 1) // s + 1
     out = np.zeros((n, c_out, t_out), dtype=np.result_type(x, w))
-    cg_in = c_in  # per-group input channels (w.shape[1])
+    cg_in = w.shape[1]  # per-group input channels
     og = c_out // group
     for gi in range(group):
         xg = xp[:, gi * cg_in : (gi + 1) * cg_in] if group > 1 else xp
@@ -194,14 +197,19 @@ def _op_cast(inputs, node):
     return inputs[0].astype(proto.ONNX_TO_NP[to])
 
 
-def _op_softmax(inputs, node):
+def _op_softmax(inputs, node, opset: int = 12):
     x = inputs[0]
-    axis = int(_attr(node, "axis", -1))
-    # opset <13 semantics: flatten to 2-D at `axis` and softmax the suffix.
-    # For axis == last dim (all the exporter emits) this equals per-row
-    # softmax; implement the general coerce for external files.
+    # Defaults differ by opset: <13 is axis=1 with flatten-at-axis
+    # semantics; >=13 is axis=-1 with ordinary per-axis softmax.
+    axis = int(_attr(node, "axis", -1 if opset >= 13 else 1))
     if axis < 0:
         axis += x.ndim
+    if opset >= 13:
+        m = x.max(axis=axis, keepdims=True)
+        e = np.exp(x - m)
+        return (e / e.sum(axis=axis, keepdims=True)).astype(x.dtype)
+    # opset <13: flatten to 2-D at `axis` and softmax the suffix.  For
+    # axis == last dim (all the exporter emits) this equals per-row softmax.
     shape = x.shape
     x2 = x.reshape(int(np.prod(shape[:axis], dtype=np.int64)), -1)
     m = x2.max(axis=1, keepdims=True)
@@ -286,8 +294,11 @@ def _op_squeeze(inputs, node):
 def _op_unsqueeze(inputs, node):
     axes = _axes_list(node, inputs)
     x = inputs[0]
-    for a in sorted(int(v) for v in axes):
-        x = np.expand_dims(x, a if a >= 0 else a + x.ndim + 1)
+    # Negative axes resolve against the OUTPUT rank (ONNX spec), so fix
+    # the rank first, then insert in ascending resolved order.
+    out_rank = x.ndim + len(axes)
+    for a in sorted(int(v) + (out_rank if int(v) < 0 else 0) for v in axes):
+        x = np.expand_dims(x, a)
     return x
 
 
@@ -312,12 +323,20 @@ def _binary(fn, type_promote=True):
     return run
 
 
+def _int_div_trunc(a, b):
+    """ONNX integer Div truncates toward zero; numpy // floors.  When the
+    signs differ and the division is inexact, floor is one below trunc."""
+    q = a // b
+    r = a - q * b
+    return (q + ((r != 0) & ((a < 0) != (b < 0)))).astype(np.result_type(a, b))
+
+
 _SIMPLE_OPS: typing.Dict[str, typing.Callable] = {
     "Add": _binary(np.add),
     "Sub": _binary(np.subtract),
     "Mul": _binary(np.multiply),
     "Div": lambda i, n: (
-        i[0] // i[1]
+        _int_div_trunc(i[0], i[1])
         if np.issubdtype(i[0].dtype, np.integer)
         and np.issubdtype(i[1].dtype, np.integer)
         else i[0] / i[1]
@@ -434,6 +453,8 @@ class OnnxRuntime:
             try:
                 if node.op_type == "RandomNormalLike":
                     out = _op_random_normal_like(inputs, node, rng)
+                elif node.op_type == "Softmax":
+                    out = _op_softmax(inputs, node, self.model.opset_version)
                 elif node.op_type in _SIMPLE_OPS:
                     out = _SIMPLE_OPS[node.op_type](inputs, node)
                 elif node.op_type in _COMPLEX_OPS:

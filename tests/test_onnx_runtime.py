@@ -247,6 +247,103 @@ def test_missing_input_raises():
         sess.run(None, {})
 
 
+def test_grouped_conv():
+    """group>1 slices input channels by w.shape[1] (the per-group width),
+    not the full c_in."""
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal((2, 4, 9)).astype(np.float32)
+    w = rng.standard_normal((6, 2, 3)).astype(np.float32)  # group=2: c_in/g=2
+
+    def build(g):
+        xi = g.input("x", proto.FLOAT, ["b", 4, "t"])
+        y = g.node("Conv", [xi, g.init("w", w)], group=2, pads=[1, 1])
+        g.output(y, proto.FLOAT, ["b", 6, "t"])
+
+    got = run_graph(build, {"x": x})
+    xp = np.pad(x, ((0, 0), (0, 0), (1, 1)))
+    want = np.zeros((2, 6, 9), np.float32)
+    for gi in range(2):
+        xg = xp[:, gi * 2 : (gi + 1) * 2]
+        wg = w[gi * 3 : (gi + 1) * 3]
+        for tap in range(3):
+            want[:, gi * 3 : (gi + 1) * 3] += np.einsum(
+                "nct,oc->not", xg[:, :, tap : tap + 9], wg[:, :, tap]
+            )
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_conv_same_upper_strided():
+    """SAME_UPPER total padding includes the stride term:
+    (ceil(t/s)-1)*s + (k-1)*d + 1 - t, not just (k-1)*d."""
+    x = np.arange(8, dtype=np.float32).reshape(1, 1, 8)
+    w = np.ones((1, 1, 3), np.float32)
+
+    def build(g):
+        xi = g.input("x", proto.FLOAT, [1, 1, "t"])
+        y = g.node("Conv", [xi, g.init("w", w)], strides=[2], auto_pad="SAME_UPPER")
+        g.output(y, proto.FLOAT, [1, 1, "t2"])
+
+    got = run_graph(build, {"x": x})
+    # t=8, s=2 -> out 4; total pad = 3*2 + 3 - 8 = 1 -> (0, 1)
+    xp = np.pad(x, ((0, 0), (0, 0), (0, 1)))
+    want = np.stack(
+        [xp[0, 0, s : s + 3].sum() for s in range(0, 8, 2)]
+    ).reshape(1, 1, 4)
+    np.testing.assert_allclose(got, want)
+
+
+def test_unsqueeze_multiple_negative_axes():
+    """Negative Unsqueeze axes resolve against the OUTPUT rank: axes=[-2,-1]
+    on a [3] tensor gives [3,1,1] (onnxruntime semantics), not [1,3,1]."""
+    x = np.array([1.0, 2.0, 3.0], np.float32)
+
+    def build(g):
+        xi = g.input("x", proto.FLOAT, [3])
+        y = g.node("Unsqueeze", [xi], axes=[-2, -1])
+        g.output(y, proto.FLOAT, [3, 1, 1])
+
+    got = run_graph(build, {"x": x})
+    assert got.shape == (3, 1, 1)
+    np.testing.assert_array_equal(got.reshape(3), x)
+
+
+def test_softmax_opset13_per_axis():
+    """opset>=13 Softmax normalizes the named axis only; opset<13 flattens
+    the suffix at the axis.  Both semantics pinned on the same graph."""
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((2, 3, 4)).astype(np.float32)
+
+    def graph_bytes(opset):
+        g = GraphBuilder("t")
+        xi = g.input("x", proto.FLOAT, ["b", 3, 4])
+        g.output(g.node("Softmax", [xi], axis=1), proto.FLOAT, ["b", 3, 4])
+        return g.model_bytes(opset_version=opset)
+
+    got13 = OnnxRuntime(graph_bytes(13)).run(None, {"x": x})[0]
+    e = np.exp(x - x.max(1, keepdims=True))
+    np.testing.assert_allclose(got13, e / e.sum(1, keepdims=True), rtol=1e-5)
+
+    got12 = OnnxRuntime(graph_bytes(12)).run(None, {"x": x})[0]
+    x2 = x.reshape(2, 12)
+    e2 = np.exp(x2 - x2.max(1, keepdims=True))
+    want12 = (e2 / e2.sum(1, keepdims=True)).reshape(2, 3, 4)
+    np.testing.assert_allclose(got12, want12, rtol=1e-5)
+
+
+def test_integer_div_truncates_toward_zero():
+    a = np.array([-7, 7, -7, 6], np.int64)
+    b = np.array([2, 2, -2, -4], np.int64)
+
+    def build(g):
+        ai = g.input("a", proto.INT64, [4])
+        bi = g.input("b", proto.INT64, [4])
+        g.output(g.node("Div", [ai, bi]), proto.INT64, [4])
+
+    got = run_graph(build, {"a": a, "b": b})
+    np.testing.assert_array_equal(got, np.array([-3, 3, 3, -1]))
+    assert got.dtype == np.int64
+
+
 def test_unsupported_op_raises():
     g = GraphBuilder("t")
     xi = g.input("x", proto.FLOAT, [1])
