@@ -192,50 +192,32 @@ def _block_fwd_save_kernel(seed_ref, x_ref, mask_ref, a_ref, ba_ref, ws_ref,
     skipm_ref[0] = loc["skipm"]
 
 
-def _block_bwd_store_kernel(seed_ref, x_ref, mask_ref, a_ref, ws_ref,
-                            we_ref, be_ref, win_ref, wrs_ref,
-                            zp_ref, skipm_ref, xs_ref, th_ref, sg_ref,
-                            dz_ref, dld_ref,
-                            dx_ref, da_ref, dba_ref, dws_ref, dbs_ref,
-                            dwe_ref, dbe_ref, dwin_ref, dbin_ref, dwrs_ref,
-                            dbrs_ref, dg_ref, *, st):
-    """Backward from forward-saved residuals: no recompute pass at all.
-    Mirrors _block_bwd_kernel's math with loads from HBM instead of the
-    recompute's locals; dropout keep masks are replayed from the PRNG."""
-    t, c = x_ref.shape[1], x_ref.shape[2]
-    c2 = c // 2
-    h = ws_ref.shape[1]
-    dtype = x_ref.dtype
-    mask = mask_ref[0]
-    maskf = mask.astype(jnp.float32)
-    st = dict(st, seed=seed_ref[0] + pl.program_id(0))
-
-    _zero_weight_accs(dwin_ref, dbin_ref, dwrs_ref, dbrs_ref)
+def _zero_block_grad_accs(da_ref, dba_ref, dws_ref, dbs_ref, dwe_ref,
+                          dbe_ref):
+    """Zero the block-level weight-grad accumulators on the first grid
+    step (they accumulate across the batch grid in VMEM)."""
 
     @pl.when(pl.program_id(0) == 0)
-    def _zero_block_accs():
-        da_ref[...] = jnp.zeros_like(da_ref)
-        dba_ref[...] = jnp.zeros_like(dba_ref)
-        dws_ref[...] = jnp.zeros_like(dws_ref)
-        dbs_ref[...] = jnp.zeros_like(dbs_ref)
-        dwe_ref[...] = jnp.zeros_like(dwe_ref)
-        dbe_ref[...] = jnp.zeros_like(dbe_ref)
+    def _zero():
+        for ref in (da_ref, dba_ref, dws_ref, dbs_ref, dwe_ref, dbe_ref):
+            ref[...] = jnp.zeros_like(ref)
 
-    zp = zp_ref[0]
-    x0, x1 = zp[:, :c2], zp[:, c2:]
-    x1f = x1.astype(jnp.float32)
-    skipm = skipm_ref[0]
-    # recompute out/m/logs from the stored skipm — EXACTLY the forward's
-    # op order (dot f32 + bias, cast to dtype, then f32 slices)
-    out = (
-        jnp.dot(skipm, we_ref[...], preferred_element_type=jnp.float32)
-        + be_ref[0].astype(jnp.float32)[None, :]
-    ).astype(dtype)
-    logs_raw = out[:, c2:].astype(jnp.float32)
-    logs = _apply_logs_transform(logs_raw, st["sigmoid_scale"])
+
+def _block_bwd_math(load, x, mask, x0, x1f, skipm, logs_raw, logs,
+                    dz_ref, dld_ref, a_ref, ws_ref, we_ref, win_ref, wrs_ref,
+                    dx_ref, da_ref, dba_ref, dws_ref, dbs_ref, dwe_ref,
+                    dbe_ref, dwin_ref, dbin_ref, dwrs_ref, dbrs_ref, dg_ref,
+                    *, st, t, h, dtype):
+    """Backward math shared by the recompute and store kernels: affine
+    coupling + end conv → WN reverse walk → start conv → folded A.  The
+    two kernels differ only in where the forward intermediates come from
+    (in-kernel recompute locals vs HBM-stored residuals); ``load(l)``
+    yields the per-layer WN values from whichever source."""
+    c2 = x0.shape[1]
+    maskf = mask.astype(jnp.float32)
     e_logs = jnp.exp(logs)
 
-    # ---- affine coupling + end conv (identical to _block_bwd_kernel) ----
+    # ---- affine coupling + end conv ----
     dz = dz_ref[0].astype(jnp.float32)
     dld = dld_ref[0, 0, 0]
     dz0 = dz[:, :c2]
@@ -243,6 +225,7 @@ def _block_bwd_store_kernel(seed_ref, x_ref, mask_ref, a_ref, ws_ref,
     dm = dz1m
     dlogs = dz1m * e_logs * x1f + dld * maskf  # ld = sum(logs * mask)
     if st["sigmoid_scale"]:
+        # logs = log(1e-6 + sig(s+2)):  dlogs/ds = sig'(s+2)/(1e-6+sig(s+2))
         sgm = jax.nn.sigmoid(logs_raw + 2.0)
         dlogs = dlogs * (sgm * (1.0 - sgm)) / (1e-6 + sgm)
     dout = jnp.concatenate([dm, dlogs], axis=1)  # [t, c] f32
@@ -254,22 +237,9 @@ def _block_bwd_store_kernel(seed_ref, x_ref, mask_ref, a_ref, ws_ref,
         jnp.dot(dout.astype(dtype), we_ref[...].T,
                 preferred_element_type=jnp.float32)
         * maskf
-    )
+    )  # cotangent of raw skip sum (skipm = skip * mask)
 
-    # ---- WN reverse walk (loads from the HBM-stored residuals) ----
-    def load(l):
-        keepf = (
-            _regen_keep(l, (t, 2 * h), st)
-            if st["drop_threshold"] is not None
-            else None
-        )
-        return (
-            xs_ref[0, l],
-            th_ref[0, l].astype(jnp.float32),
-            sg_ref[0, l].astype(jnp.float32),
-            keepf,
-        )
-
+    # ---- WN reverse walk ----
     dh0 = _reverse_walk(
         load, mask, dskip.astype(dtype), win_ref, wrs_ref,
         dwin_ref, dbin_ref, dwrs_ref, dbrs_ref, dg_ref,
@@ -290,12 +260,68 @@ def _block_bwd_store_kernel(seed_ref, x_ref, mask_ref, a_ref, ws_ref,
     # ---- folded actnorm∘invconv:  zp = (x @ A + bA) * mask ----
     dzp = jnp.concatenate([dx0, dx1], axis=1) * maskf
     da_ref[...] += jnp.dot(
-        x_ref[0].T, dzp.astype(dtype), preferred_element_type=jnp.float32
+        x.T, dzp.astype(dtype), preferred_element_type=jnp.float32
     )
     dba_ref[0] += jnp.sum(dzp, axis=0)
     dx_ref[0] = jnp.dot(
         dzp.astype(dtype), a_ref[...].T, preferred_element_type=jnp.float32
     ).astype(dx_ref.dtype)
+
+
+def _block_bwd_store_kernel(seed_ref, x_ref, mask_ref, a_ref, ws_ref,
+                            we_ref, be_ref, win_ref, wrs_ref,
+                            zp_ref, skipm_ref, xs_ref, th_ref, sg_ref,
+                            dz_ref, dld_ref,
+                            dx_ref, da_ref, dba_ref, dws_ref, dbs_ref,
+                            dwe_ref, dbe_ref, dwin_ref, dbin_ref, dwrs_ref,
+                            dbrs_ref, dg_ref, *, st):
+    """Backward from forward-saved residuals: no recompute pass at all —
+    loads zp/skipm/xs/th/sg from HBM, rebuilds out/m/logs from skipm with
+    one [t, h]x[h, c] matmul, then runs the shared _block_bwd_math walk;
+    dropout keep masks are replayed from the PRNG."""
+    t, c = x_ref.shape[1], x_ref.shape[2]
+    c2 = c // 2
+    h = ws_ref.shape[1]
+    dtype = x_ref.dtype
+    mask = mask_ref[0]
+    st = dict(st, seed=seed_ref[0] + pl.program_id(0))
+
+    _zero_weight_accs(dwin_ref, dbin_ref, dwrs_ref, dbrs_ref)
+    _zero_block_grad_accs(da_ref, dba_ref, dws_ref, dbs_ref, dwe_ref,
+                          dbe_ref)
+
+    zp = zp_ref[0]
+    x0, x1 = zp[:, :c2], zp[:, c2:]
+    skipm = skipm_ref[0]
+    # recompute out/m/logs from the stored skipm — EXACTLY the forward's
+    # op order (dot f32 + bias, cast to dtype, then f32 slices)
+    out = (
+        jnp.dot(skipm, we_ref[...], preferred_element_type=jnp.float32)
+        + be_ref[0].astype(jnp.float32)[None, :]
+    ).astype(dtype)
+    logs_raw = out[:, c2:].astype(jnp.float32)
+    logs = _apply_logs_transform(logs_raw, st["sigmoid_scale"])
+
+    def load(l):  # HBM-stored residuals; keep masks replayed from the PRNG
+        keepf = (
+            _regen_keep(l, (t, 2 * h), st)
+            if st["drop_threshold"] is not None
+            else None
+        )
+        return (
+            xs_ref[0, l],
+            th_ref[0, l].astype(jnp.float32),
+            sg_ref[0, l].astype(jnp.float32),
+            keepf,
+        )
+
+    _block_bwd_math(
+        load, x_ref[0], mask, x0, x1.astype(jnp.float32), skipm,
+        logs_raw, logs, dz_ref, dld_ref, a_ref, ws_ref, we_ref, win_ref,
+        wrs_ref, dx_ref, da_ref, dba_ref, dws_ref, dbs_ref, dwe_ref,
+        dbe_ref, dwin_ref, dbin_ref, dwrs_ref, dbrs_ref, dg_ref,
+        st=st, t=t, h=h, dtype=dtype,
+    )
 
 
 def _block_bwd_kernel(seed_ref, x_ref, mask_ref, a_ref, ba_ref, ws_ref,
@@ -305,7 +331,6 @@ def _block_bwd_kernel(seed_ref, x_ref, mask_ref, a_ref, ba_ref, ws_ref,
                       dbe_ref, dwin_ref, dbin_ref, dwrs_ref, dbrs_ref,
                       dg_ref, xs_ref, th_ref, sg_ref, keep_ref, *, st):
     t, c = x_ref.shape[1], x_ref.shape[2]
-    c2 = c // 2
     h = ws_ref.shape[1]
     dtype = x_ref.dtype
     mask = mask_ref[0]
@@ -314,47 +339,14 @@ def _block_bwd_kernel(seed_ref, x_ref, mask_ref, a_ref, ba_ref, ws_ref,
             win_ref, bin_ref, wrs_ref, brs_ref, g_ref)
 
     _zero_weight_accs(dwin_ref, dbin_ref, dwrs_ref, dbrs_ref)
-
-    @pl.when(pl.program_id(0) == 0)
-    def _zero_block_accs():
-        da_ref[...] = jnp.zeros_like(da_ref)
-        dba_ref[...] = jnp.zeros_like(dba_ref)
-        dws_ref[...] = jnp.zeros_like(dws_ref)
-        dbs_ref[...] = jnp.zeros_like(dbs_ref)
-        dwe_ref[...] = jnp.zeros_like(dwe_ref)
-        dbe_ref[...] = jnp.zeros_like(dbe_ref)
+    _zero_block_grad_accs(da_ref, dba_ref, dws_ref, dbs_ref, dwe_ref,
+                          dbe_ref)
 
     # ---- forward recompute (WN per-layer values stashed in scratch) ----
     collect = (xs_ref, th_ref, sg_ref, keep_ref)
     _, _, loc = _block_fwd_math(x_ref[0], mask, refs, st, collect=collect)
-    maskf = loc["maskf"]
-    x1f = loc["x1"].astype(jnp.float32)
-    e_logs = jnp.exp(loc["logs"])
 
-    # ---- affine coupling + end conv ----
-    dz = dz_ref[0].astype(jnp.float32)
-    dld = dld_ref[0, 0, 0]
-    dz0 = dz[:, :c2]
-    dz1m = dz[:, c2:] * maskf
-    dm = dz1m
-    dlogs = dz1m * e_logs * x1f + dld * maskf  # ld = sum(logs * mask)
-    if st["sigmoid_scale"]:
-        # logs = log(1e-6 + sig(s+2)):  dlogs/ds = sig'(s+2)/(1e-6+sig(s+2))
-        sgm = jax.nn.sigmoid(loc["logs_raw"] + 2.0)
-        dlogs = dlogs * (sgm * (1.0 - sgm)) / (1e-6 + sgm)
-    dout = jnp.concatenate([dm, dlogs], axis=1)  # [t, c] f32
-    dwe_ref[...] += jnp.dot(
-        loc["skipm"].T, dout.astype(dtype), preferred_element_type=jnp.float32
-    )
-    dbe_ref[0] += jnp.sum(dout, axis=0)
-    dskip = (
-        jnp.dot(dout.astype(dtype), we_ref[...].T,
-                preferred_element_type=jnp.float32)
-        * maskf
-    )  # cotangent of raw skip sum (skipm = skip * mask)
-
-    # ---- WN reverse walk (recompute-mode loads from scratch) ----
-    def load(l):
+    def load(l):  # recompute-mode loads from VMEM scratch
         keepf = (
             keep_ref[l].astype(jnp.float32)
             if st["drop_threshold"] is not None
@@ -367,32 +359,13 @@ def _block_bwd_kernel(seed_ref, x_ref, mask_ref, a_ref, ba_ref, ws_ref,
             keepf,
         )
 
-    dh0 = _reverse_walk(
-        load, mask, dskip.astype(dtype), win_ref, wrs_ref,
-        dwin_ref, dbin_ref, dwrs_ref, dbrs_ref, dg_ref,
-        st=st, t=t, h=h, dtype=dtype,
+    _block_bwd_math(
+        load, x_ref[0], mask, loc["x0"], loc["x1"].astype(jnp.float32),
+        loc["skipm"], loc["logs_raw"], loc["logs"], dz_ref, dld_ref,
+        a_ref, ws_ref, we_ref, win_ref, wrs_ref, dx_ref, da_ref, dba_ref,
+        dws_ref, dbs_ref, dwe_ref, dbe_ref, dwin_ref, dbin_ref, dwrs_ref,
+        dbrs_ref, dg_ref, st=st, t=t, h=h, dtype=dtype,
     )
-
-    # ---- start conv:  h0 = (x0 @ W_s + b_s) * mask ----
-    d_pre = dh0 * maskf
-    dws_ref[...] += jnp.dot(
-        loc["x0"].T, d_pre.astype(dtype), preferred_element_type=jnp.float32
-    )
-    dbs_ref[0] += jnp.sum(d_pre, axis=0)
-    dx0 = dz0 + jnp.dot(
-        d_pre.astype(dtype), ws_ref[...].T, preferred_element_type=jnp.float32
-    )
-    dx1 = dz1m * e_logs
-
-    # ---- folded actnorm∘invconv:  zp = (x @ A + bA) * mask ----
-    dzp = jnp.concatenate([dx0, dx1], axis=1) * maskf
-    da_ref[...] += jnp.dot(
-        x_ref[0].T, dzp.astype(dtype), preferred_element_type=jnp.float32
-    )
-    dba_ref[0] += jnp.sum(dzp, axis=0)
-    dx_ref[0] = jnp.dot(
-        dzp.astype(dtype), a_ref[...].T, preferred_element_type=jnp.float32
-    ).astype(dx_ref.dtype)
 
 
 def _flow_block_call(
@@ -665,19 +638,36 @@ def _make_block_fn(key: "_BlockKey"):
                 x_mask, g_all, seed_f, st=st, interpret=interpret,
                 mode="fwd_save",
             )
+            # The store backward never reads bA/b_s/b_in/b_rs/g_all values
+            # (bias grads are cotangent reductions; g enters via the saved
+            # gate products), so don't keep those tensors alive from
+            # forward to backward — carry zero-length [0, *shape] stubs
+            # that preserve the cotangent dtype+shape (same trick as
+            # wn_pallas._make_fused_fn).
+            stubs = tuple(
+                jnp.zeros((0,) + a.shape, a.dtype)
+                for a in (bA, b_s, b_e, b_in, b_rs, g_all)
+            )
             return (z, ld[:, 0, 0]), (
-                A, bA, W_s, b_s, W_e, b_e, W_in, b_in, W_rs, b_rs, x,
-                x_mask, g_all, seed_f, zp, skipm, xs, th, sg,
+                A, W_s, W_e, b_e, W_in, W_rs, x, x_mask, seed_f,
+                zp, skipm, xs, th, sg, stubs,
             )
         out = f(A, bA, W_s, b_s, W_e, b_e, W_in, b_in, W_rs, b_rs, x,
                 x_mask, g_all, seed_f)
         return out, (A, bA, W_s, b_s, W_e, b_e, W_in, b_in, W_rs, b_rs, x,
-                     x_mask, g_all, seed_f, None, None, None, None, None)
+                     x_mask, g_all, seed_f)
 
     def f_bwd(res, cot):
-        (A, bA, W_s, b_s, W_e, b_e, W_in, b_in, W_rs, b_rs, x, x_mask,
-         g_all, seed_f, zp, skipm, xs, th, sg) = res
         dz, dld = cot
+        if store:
+            (A, W_s, W_e, b_e, W_in, W_rs, x, x_mask, seed_f,
+             zp, skipm, xs, th, sg, stubs) = res
+            bA_st, bs_st, be_st, bin_st, brs_st, g_st = stubs
+        else:
+            (A, bA, W_s, b_s, W_e, b_e, W_in, b_in, W_rs, b_rs, x, x_mask,
+             g_all, seed_f) = res
+            bA_st, bs_st, be_st = bA, b_s, b_e
+            bin_st, brs_st, g_st = b_in, b_rs, g_all
         b = x.shape[0]
         dld_pad = jnp.broadcast_to(
             dld.astype(jnp.float32)[:, None, None], (b, 8, 128)
@@ -695,20 +685,25 @@ def _make_block_fn(key: "_BlockKey"):
                 x_mask, g_all, seed_f, st=st, interpret=interpret,
                 with_grad=True, dz=dz, dld=dld_pad,
             )
+        # stubs carry (dtype, shape) for the primals store mode drops: a
+        # stub's shape[-a.ndim:] (== shape[1:] for stubs) is the primal's
+        bA_shape = bA_st.shape[1:] if store else bA_st.shape
+        bs_shape = bs_st.shape[1:] if store else bs_st.shape
+        be_shape = be_st.shape[1:] if store else be_st.shape
         return (
             dA.astype(A.dtype),
-            dbA[0].astype(bA.dtype).reshape(bA.shape),
+            dbA[0].astype(bA_st.dtype).reshape(bA_shape),
             dws.astype(W_s.dtype),
-            dbs[0].astype(b_s.dtype).reshape(b_s.shape),
+            dbs[0].astype(bs_st.dtype).reshape(bs_shape),
             dwe.astype(W_e.dtype),
-            dbe[0].astype(b_e.dtype).reshape(b_e.shape),
+            dbe[0].astype(be_st.dtype).reshape(be_shape),
             dwin.astype(W_in.dtype),
-            dbin.astype(b_in.dtype),
+            dbin.astype(bin_st.dtype),
             dwrs.astype(W_rs.dtype),
-            dbrs.astype(b_rs.dtype),
+            dbrs.astype(brs_st.dtype),
             dx,
             jnp.zeros_like(x_mask),
-            dg.astype(g_all.dtype),
+            dg.astype(g_st.dtype),
             np.zeros((1,), dtype=jax.dtypes.float0),
         )
 
