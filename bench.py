@@ -38,6 +38,71 @@ def _log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+# The driver captures only the LAST 2000 characters of stdout and parses the
+# final line as the graded record.  Round 4's single ~2.4 kB line arrived
+# beheaded ("parsed": null — VERDICT r4 weak #1), so the contract is now:
+# the FINAL stdout line is a compact summary budgeted well under this many
+# characters (asserted by tests/test_bench_emit.py), and the full extras go
+# to an EARLIER stdout line plus a BENCH_extras.json sidecar.
+FINAL_LINE_BUDGET = 1000
+
+# Extras keys promoted into the compact final line (small scalars only).
+_COMPACT_EXTRA_KEYS = (
+    "headline_batch",
+    "mfu",
+    "mfu_b256",
+    "large_mfu",
+    "chip",
+    "mas_impl_used",
+    "e2e_frames_per_sec",
+    "safe_mode",
+)
+
+
+def emit_result(result, sidecar_dir=None):
+    """Write the graded bench record for a 2000-char tail capture.
+
+    Three artifacts, in order:
+      1. stdout line: the FULL result (all extras) — for humans reading the
+         whole log, and recoverable from the tail if the final line were
+         ever lost.
+      2. sidecar ``BENCH_extras.json`` next to bench.py: the full result,
+         machine-readable regardless of capture limits.
+      3. FINAL stdout line: compact {metric, value, unit, vs_baseline,
+         extras:{<scalars>}} under FINAL_LINE_BUDGET chars.  This is the
+         line the driver parses.
+    """
+    full_line = json.dumps(result)
+    print(full_line)
+    sidecar = os.path.join(
+        sidecar_dir or os.path.dirname(os.path.abspath(__file__)),
+        "BENCH_extras.json",
+    )
+    try:
+        with open(sidecar, "w", encoding="utf-8") as fh:
+            json.dump(result, fh, indent=1)
+            fh.write("\n")
+    except OSError as exc:  # never let the sidecar kill the graded line
+        _log(f"bench: could not write {sidecar}: {exc}")
+    extras = result.get("extras", {})
+    compact_extras = {
+        k: extras[k] for k in _COMPACT_EXTRA_KEYS if k in extras
+    }
+    compact_extras["full_extras"] = "BENCH_extras.json"
+    compact = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": result["unit"],
+        "vs_baseline": result["vs_baseline"],
+        "extras": compact_extras,
+    }
+    line = json.dumps(compact)
+    if len(line) > FINAL_LINE_BUDGET:  # drop extras before the headline
+        compact["extras"] = {"full_extras": "BENCH_extras.json"}
+        line = json.dumps(compact)
+    print(line)
+
+
 def measure_rpc_baseline(reps=10):
     """Round-trip cost of one trivial dispatch+fetch (diagnostic only —
     nothing is subtracted; see module docstring)."""
@@ -641,7 +706,7 @@ def main():
             "safe_mode": safe,
         },
     }
-    print(json.dumps(result))
+    emit_result(result)
 
 
 # Exception classes whose appearance as the child's terminal traceback line
