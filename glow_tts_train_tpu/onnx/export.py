@@ -621,9 +621,14 @@ def export_generator_onnx(
     speaker: int = 0,
     producer_version: str = "",
 ) -> bytes:
-    """Serialize the generator as an opset-12 ONNX ModelProto (bytes)."""
+    """Serialize the generator as an opset-12 ONNX ModelProto (bytes).
+
+    The emitted model is structurally validated before it is returned
+    (onnx/check.py: SSA/topological order, dangling refs, name hygiene,
+    declared-dim consistency) so a malformed graph fails loudly at export
+    time rather than inside some strict external consumer."""
     g = build_generator_graph(params, config, speaker=speaker)
-    return g.model_bytes(
+    blob = g.model_bytes(
         opset_version=12,
         ir_version=7,
         producer_version=producer_version,
@@ -632,3 +637,12 @@ def export_generator_onnx(
             "the reference torch.onnx export (export_onnx.py:105-118)."
         ),
     )
+    from .check import check_model
+
+    summary = check_model(blob)
+    import logging
+
+    logging.getLogger("glow_tts_train_tpu.onnx").debug(
+        "ONNX structural check passed: %s", summary
+    )
+    return blob
