@@ -65,7 +65,12 @@ def decoder_forward_flops(hp, b: int, t_y: int) -> float:
         per_block += _conv_flops(b, t_c, 1, h, 2 * h)  # res+skip
     per_block += _conv_flops(b, t_c, 1, h, c)  # end (m, logs)
     if hp.gin_channels:
-        per_block += _conv_flops(b, t_c, 1, hp.gin_channels,
+        # global conditioning is a PER-UTTERANCE vector: the cond conv runs
+        # on g of time-length 1 and broadcasts over t (ops/flows.py:264-287,
+        # g: [b, 1, gin] -> [b, 1, 2*h*L]).  Counting it per frame (t_c)
+        # overcounted multispeaker by 17.5% vs XLA (caught by
+        # tests/test_flops_xla.py::test_multispeaker_gin_rows_counted).
+        per_block += _conv_flops(b, 1, 1, hp.gin_channels,
                                  2 * h * hp.n_block_layers)
     return per_block * hp.n_blocks_dec
 
