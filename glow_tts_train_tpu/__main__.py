@@ -287,11 +287,25 @@ def main():
             opt_state = jax.jit(tx.init)(ckpt.params)
         global_step = ckpt.global_step
         state = TrainState(ckpt.params, opt_state, jnp.asarray(global_step, jnp.int32))
+        # Continue the data-order sequence: each epoch's shuffle is seeded
+        # by (seed + epoch counter), so advancing the counter to the number
+        # of completed epochs makes a resumed run consume the exact batch
+        # sequence the uninterrupted run would have — restore-and-continue
+        # reproduces it bit-for-bit (tests/test_multihost.py).  The
+        # reference replays the epoch-1 order on every resume (its
+        # sampler.set_epoch is commented out, train.py:101).
+        steps_per_epoch = len(pipeline)
+        if steps_per_epoch > 0:
+            # +1: the original fresh run consumed the epoch-0 draw for its
+            # DDI batch, so training epochs shuffle with seeds 1..N
+            pipeline.epoch = (global_step - 1) // steps_per_epoch + 1
         _LOGGER.info(
-            "Loaded checkpoint from %s (global step=%s, learning rate=%s)",
+            "Loaded checkpoint from %s (global step=%s, learning rate=%s, "
+            "resuming at data epoch %s)",
             args.checkpoint,
             global_step,
             ckpt.learning_rate,
+            pipeline.epoch + 1,
         )
     else:
         _LOGGER.info("Doing data-dependent initialization...")

@@ -272,8 +272,19 @@ def _save_orbax(checkpoint: Checkpoint, path: Path) -> None:
 def _load_orbax(path: Path, config: TrainingConfig, load_optimizer: bool) -> Checkpoint:
     import orbax.checkpoint as ocp
 
-    ckptr = ocp.StandardCheckpointer()
-    tree = ckptr.restore(path.absolute())
+    # Restore every leaf as a HOST numpy array, not onto the saved
+    # shardings: a checkpoint written by a 2-process x 2-device run must
+    # load on any topology (single host, different device count, CPU vs
+    # TPU) — StandardCheckpointer.restore without a target re-applies the
+    # saved device ids and raises on mismatch (caught by
+    # tests/test_multihost.py restore-and-continue).  The caller merges
+    # into fresh params and re-shards for whatever mesh it runs under.
+    ckptr = ocp.PyTreeCheckpointer()
+    meta_tree = ckptr.metadata(path.absolute()).item_metadata.tree
+    restore_args = jax.tree_util.tree_map(
+        lambda _: ocp.RestoreArgs(restore_type=np.ndarray), meta_tree
+    )
+    tree = ckptr.restore(path.absolute(), restore_args=restore_args)
     saved = _flatten(tree["model"], "model/")
 
     hp = hyper_from_config(config)

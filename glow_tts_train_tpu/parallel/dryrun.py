@@ -218,6 +218,9 @@ def run_two_process(attempts: int = 3) -> None:
             "warmup_steps": 10,
             "bucket_size_text": 8,
             "bucket_size_mel": 16,
+            # orbax: the save is a cross-process collective and the leg-7
+            # resume below restores it in a FRESH 2-process topology
+            "checkpoint_format": "orbax",
             "audio": {"mel_channels": 8},
             "model": {
                 "num_symbols": 20, "hidden_channels": 16,
@@ -238,17 +241,18 @@ def run_two_process(attempts: int = 3) -> None:
         )
         env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache")
 
-        def launch(port, proc_id):
+        def launch(port, proc_id, output, extra=()):
             return subprocess.Popen(
                 [
                     sys.executable, "-m", "glow_tts_train_tpu",
-                    "--output", str(tmp_path / "model"),
+                    "--output", str(output),
                     "--dataset", "0", str(tmp_path / "phonemes.csv"),
                     str(mels_dir), "--mels-dir",
                     "--config", str(tmp_path / "config.json"),
                     "--platform", "cpu", "--virtual-devices", "2",
                     "--coordinator", f"localhost:{port}",
                     "--num-processes", "2", "--process-id", str(proc_id),
+                    *extra,
                 ],
                 env=env,
                 stdout=subprocess.PIPE,
@@ -256,33 +260,53 @@ def run_two_process(attempts: int = 3) -> None:
                 text=True,
             )
 
-        last_outs = []
-        for attempt in range(attempts):
-            with socket.socket() as s:
-                s.bind(("localhost", 0))
-                port = s.getsockname()[1]
-            procs = [launch(port, i) for i in (0, 1)]
-            try:
-                last_outs = [p.communicate(timeout=600)[0] for p in procs]
-            except subprocess.TimeoutExpired:
-                for p in procs:
-                    if p.poll() is None:
-                        p.kill()
-                    p.communicate()
-                continue
-            if all(p.returncode == 0 for p in procs):
-                # checkpoint name carries the post-epoch global step
-                # (checkpoint_<step>.npz) — glob rather than hardcode
-                ckpts = list((tmp_path / "model").glob("checkpoint_*.npz"))
-                assert ckpts, "2-process run saved no checkpoint"
-                print(
-                    "dryrun_multichip: 2-process jax.distributed "
-                    "(2x2 virtual devices, Gloo) OK"
-                )
-                return
-        raise AssertionError(
-            "2-process dryrun failed after retries; outputs:\n"
-            + "\n---\n".join(out[-2000:] for out in last_outs)
+        def run_pair(output, extra=()):
+            last_outs = []
+            for _ in range(attempts):
+                with socket.socket() as s:
+                    s.bind(("localhost", 0))
+                    port = s.getsockname()[1]
+                procs = [launch(port, i, output, extra) for i in (0, 1)]
+                try:
+                    last_outs = [p.communicate(timeout=600)[0] for p in procs]
+                except subprocess.TimeoutExpired:
+                    for p in procs:
+                        if p.poll() is None:
+                            p.kill()
+                        p.communicate()
+                    continue
+                if all(p.returncode == 0 for p in procs):
+                    return last_outs
+            raise AssertionError(
+                "2-process dryrun failed after retries; outputs:\n"
+                + "\n---\n".join(out[-2000:] for out in last_outs)
+            )
+
+        run_pair(tmp_path / "model")
+        # checkpoint name carries the post-epoch global step — glob it
+        ckpts = list((tmp_path / "model").glob("checkpoint_*.orbax"))
+        assert ckpts, "2-process run saved no orbax checkpoint"
+        print(
+            "dryrun_multichip: 2-process jax.distributed "
+            "(2x2 virtual devices, Gloo, collective orbax save) OK"
+        )
+
+        # Leg 7 — restore-and-continue: a FRESH 2-process rendezvous
+        # restores the collective orbax checkpoint and trains one more
+        # epoch (the multi-process version of the reference's whole
+        # recovery story, __main__.py:251-262; bit-exact state match vs an
+        # uninterrupted run is proven by tests/test_multihost.py).
+        outs = run_pair(
+            tmp_path / "model2", extra=("--checkpoint", str(max(ckpts)))
+        )
+        resumed = list((tmp_path / "model2").glob("checkpoint_*.orbax"))
+        assert resumed, "resumed 2-process run saved no checkpoint"
+        assert any("resuming at data epoch" in out for out in outs), (
+            "resume leg did not log checkpoint restore"
+        )
+        print(
+            "dryrun_multichip: 2-process restore-and-continue "
+            "(orbax collective restore, +1 epoch) OK"
         )
 
 
