@@ -584,10 +584,10 @@ def main():
         step_large, fps_large = bench_train(cfg_large, b=128)
         from glow_tts_train_tpu.models import hyper_from_config as _hfc
         from glow_tts_train_tpu.utils.flops import (
-            training_flops as _tflops,
+            model_flops as _mflops,
         )
 
-        fl_large = _tflops(_hfc(cfg_large), 128, 128, 640)
+        fl_large = _mflops(_hfc(cfg_large), 128, 128, 640)
         peak_fl, _ = chip_peak_bf16_flops()
         large_row = {
             "large_frames_per_sec": round(fps_large, 1),
@@ -610,10 +610,14 @@ def main():
             "multispeaker_frames_per_sec": f"error: {type(exc).__name__}"
         }
 
-    # MFU: analytic matmul/conv FLOPs per train step over chip peak bf16
+    # MFU: USEFUL model FLOPs (fwd + 2x-fwd bwd, PaLM convention — never
+    # counting remat recompute) over chip peak bf16.  Round 4's published
+    # MFUs used training_flops under a truthy remat="none" string, which
+    # silently added a phantom decoder recompute (~29% inflation on base;
+    # "92%" large was ~0.70 honest) — see flops.remat_recomputes_decoder.
     from glow_tts_train_tpu.models import hyper_from_config
     from glow_tts_train_tpu.ops import mas as _mas
-    from glow_tts_train_tpu.utils.flops import training_flops
+    from glow_tts_train_tpu.utils.flops import model_flops, training_flops
 
     # Independent check of that analytic numerator: XLA's own
     # HloCostAnalysis over the lowered train step (utils/flops_xla.py;
@@ -665,7 +669,8 @@ def main():
         e2e_row = {}
 
     hp = hyper_from_config(config)
-    flops_per_step = training_flops(hp, b=32, t_x=128, t_y=640)
+    flops_per_step = model_flops(hp, b=32, t_x=128, t_y=640)
+    flops_executed = training_flops(hp, b=32, t_x=128, t_y=640)
     achieved = flops_per_step / step_time
     peak, chip = chip_peak_bf16_flops()
 
@@ -731,6 +736,10 @@ def main():
                 frames_per_sec_b128 * 312.0e12 / peak, 1
             ),
             "train_flops_per_step_tf": round(flops_per_step / 1e12, 3),
+            "train_flops_executed_tf": round(flops_executed / 1e12, 3),
+            "mfu_convention": "model FLOPs = 3x forward (PaLM), remat "
+            "recompute excluded; r4 numbers included a phantom recompute "
+            "(truthy remat='none' string) and read ~1.29x higher on base",
             **flops_row,
             **e2e_row,
             "breakdown_ms": {

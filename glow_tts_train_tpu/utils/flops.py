@@ -90,11 +90,38 @@ def forward_flops(hp, b: int, t_x: int, t_y: int) -> float:
     )
 
 
+def remat_recomputes_decoder(remat) -> bool:
+    """Whether the given remat policy re-runs the flow-decoder matmuls in
+    backward.  True/"full" recompute the block; "dots" stores every
+    conv/matmul output (recomputes only elementwise glue — no MXU work);
+    "xin" stores the k-wide in_layer conv outputs and recomputes the rest
+    (counted as a full block recompute here: a small overcount);
+    False/"none" store everything the custom VJP needs.
+
+    HISTORY: this predicate replaces a bare ``if hp.remat:`` — the
+    resolved policy on the TPU/Pallas path is the STRING "none", which is
+    truthy, so every round-4 published MFU silently included a phantom
+    decoder recompute (~29% numerator inflation on base; the "92% large
+    MFU" was ~0.70 honest).  Pinned by tests/test_flops_xla.py.
+    """
+    return remat in (True, "full", "xin")
+
+
 def training_flops(hp, b: int, t_x: int, t_y: int) -> float:
-    """FLOPs for one train step: forward + backward (≈2× forward matmul
-    work) + the flow-forward recompute that hp.remat inserts in backward."""
+    """Hardware FLOPs one train step actually executes: forward + backward
+    (≈2x forward matmul work) + the flow-forward recompute IF the remat
+    policy really re-runs it (see remat_recomputes_decoder)."""
     fwd = forward_flops(hp, b, t_x, t_y)
     total = 3.0 * fwd
-    if hp.remat:
+    if remat_recomputes_decoder(hp.remat):
         total += decoder_forward_flops(hp, b, t_y)
     return total
+
+
+def model_flops(hp, b: int, t_x: int, t_y: int) -> float:
+    """USEFUL model FLOPs per step — the MFU numerator (PaLM convention):
+    forward + 2x-forward backward, never counting rematerialization (a
+    recompute is overhead the implementation chose, not model work).
+    ``training_flops`` is the HFU numerator (what the hardware executed);
+    they coincide when no recompute runs."""
+    return 3.0 * forward_flops(hp, b, t_x, t_y)
