@@ -674,6 +674,22 @@ def main():
     achieved = flops_per_step / step_time
     peak, chip = chip_peak_bf16_flops()
 
+    # Achievable-MFU ceiling from MXU tile quantization alone (the base
+    # config's 192-wide channels leave the second 128-lane K-tile half
+    # empty on the dominant matmuls) — context for reading the mfu rows.
+    try:
+        from glow_tts_train_tpu.utils.tiles import mfu_ceiling
+
+        _ceil = mfu_ceiling(hp, b=256, t_x=128, t_y=640)
+        tile_row = {
+            "mfu_tile_ceiling_b256": [
+                round(_ceil["ceiling_per_tap"], 3),
+                round(_ceil["ceiling_im2col"], 3),
+            ],
+        }
+    except Exception:  # noqa: BLE001 — diagnostic row only
+        tile_row = {}
+
     by_batch = {
         32: (step_time, frames_per_sec),
         128: (step_time_b128, frames_per_sec_b128),
@@ -742,6 +758,7 @@ def main():
             "(truthy remat='none' string) and read ~1.29x higher on base",
             **flops_row,
             **e2e_row,
+            **tile_row,
             "breakdown_ms": {
                 "encoder_fwd": round(enc_ms, 2),
                 "flow_decoder_fwd": round(dec_ms, 2),
