@@ -36,6 +36,7 @@ Cited reference behavior: encoder layer attentions.py:55-73, attention
 core :203-264, FFN :368-381, layernorm layers.py:10-28.
 """
 
+import contextlib
 import functools
 import typing
 
@@ -105,23 +106,30 @@ def _band_offsets(t):
 
 
 def _layer_fwd_math(x, mask, refs, st, want_locals=False):
-    """Shared forward math for one sample [t, h].  Returns (out, locals).
+    """Shared forward math for ``pack`` packed samples, x [pack·t, h].
 
-    ``locals`` (when requested) holds everything the backward chain needs;
-    the layer is straight-line so they are plain values, not scratch."""
+    The projection / FFN / layernorm work is row-wise, so ``pack`` samples
+    are processed as ONE [pack·t, h] matmul operand — at t≈128 a single
+    sample leaves the MXU mostly pipeline-fill (M=128 is one tile-pass);
+    packing restores M to an amortizing size.  Only the attention core
+    (scores/softmax/band, inherently per-sample [t, t]) loops over the
+    ``pack`` segments.  Returns (out, locals); ``locals`` (when requested)
+    holds everything the backward chain needs — the layer is straight-line
+    so they are plain values, not scratch."""
     (wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref, wo_ref, bo_ref,
      rk_ref, rv_ref, g1_ref, be1_ref, g2_ref, be2_ref,
      w1_ref, c1_ref, w2_ref, c2_ref) = refs
-    t, h = x.shape
+    P, h = x.shape
+    G = st["pack"]
+    t = P // G
     H = st["n_heads"]
     d = h // H
     w = st["window"]
     dtype = x.dtype
     scale = np.float32(1.0 / np.sqrt(d))
 
-    maskf = mask.astype(jnp.float32)  # [t, 1]
+    maskf = mask.astype(jnp.float32)  # [P, 1]
     xm = (x.astype(jnp.float32) * maskf).astype(dtype)
-    am = maskf * maskf[:, 0][None, :]  # [t, t] pairwise attend mask
 
     q = (
         jnp.dot(xm, wq_ref[...], preferred_element_type=jnp.float32)
@@ -137,67 +145,91 @@ def _layer_fwd_math(x, mask, refs, st, want_locals=False):
     )
 
     offm = _band_offsets(t) if w is not None else None
-    y_attn = jnp.zeros((t, h), jnp.float32)
-    heads = []  # per-head (p_f32, pd, out_h, qh, kh, vh) for backward
+    ams = []     # per-segment [t, t] pairwise attend masks
+    for g in range(G):
+        mg = maskf[g * t:(g + 1) * t]
+        ams.append(mg * mg[:, 0][None, :])
+    head_outs = []  # per-head packed [P, d] attention outputs
+    heads = []      # locals per (head, segment) for backward
+    y_attn = jnp.zeros((P, h), jnp.float32)
     for hd in range(H):
         s, e = hd * d, (hd + 1) * d
-        qh = q[:, s:e].astype(dtype)
-        kh = k[:, s:e].astype(dtype)
-        vh = v[:, s:e].astype(dtype)
-        sc = (
-            jnp.dot(qh, kh.T, preferred_element_type=jnp.float32) * scale
-        )
+        qh_p = q[:, s:e].astype(dtype)
+        kh_p = k[:, s:e].astype(dtype)
+        vh_p = v[:, s:e].astype(dtype)
         if w is not None:
-            # banded rel-k addition (see module docstring)
-            qrel = jnp.dot(
-                qh, rk_ref[...].T, preferred_element_type=jnp.float32
-            )  # [t, 2w+1]
-            for o in range(-w, w + 1):
-                col = qrel[:, o + w][:, None]
-                sc = sc + jnp.where(offm == o, col, 0.0) * scale
-        sc = jnp.where(am == 0.0, np.float32(-1e4), sc)
-        # f32 softmax (XLA path computes scores f32 via
-        # preferred_element_type then jax.nn.softmax)
-        mx = jnp.max(sc, axis=-1, keepdims=True)
-        ex = jnp.exp(sc - mx)
-        p = ex / jnp.sum(ex, axis=-1, keepdims=True)
-        pd = _maybe_drop(p, hd, st)
-        pdt = pd.astype(dtype)
-        out_h = jnp.dot(pdt, vh, preferred_element_type=jnp.float32)
-        if w is not None:
-            for o in range(-w, w + 1):
-                pb = jnp.sum(jnp.where(offm == o, pd, 0.0), axis=1)  # [t]
-                out_h = out_h + pb[:, None] * rv_ref[o + w, :].astype(
-                    jnp.float32
-                )[None, :]
-        out_hd = out_h.astype(dtype)
+            # banded rel-k addition (see module docstring); one packed
+            # [P, d]x[d, 2w+1] matmul, sliced per segment below
+            qrel_p = jnp.dot(
+                qh_p, rk_ref[...].T, preferred_element_type=jnp.float32
+            )
+        pieces = []
+        seg_locs = []
+        for g in range(G):
+            r0 = g * t
+            qh = qh_p[r0:r0 + t]
+            kh = kh_p[r0:r0 + t]
+            vh = vh_p[r0:r0 + t]
+            sc = (
+                jnp.dot(qh, kh.T, preferred_element_type=jnp.float32)
+                * scale
+            )
+            if w is not None:
+                qrel = qrel_p[r0:r0 + t]  # [t, 2w+1]
+                for o in range(-w, w + 1):
+                    col = qrel[:, o + w][:, None]
+                    sc = sc + jnp.where(offm == o, col, 0.0) * scale
+            sc = jnp.where(ams[g] == 0.0, np.float32(-1e4), sc)
+            # f32 softmax (XLA path computes scores f32 via
+            # preferred_element_type then jax.nn.softmax)
+            mx = jnp.max(sc, axis=-1, keepdims=True)
+            ex = jnp.exp(sc - mx)
+            p = ex / jnp.sum(ex, axis=-1, keepdims=True)
+            pd = _maybe_drop(p, g * H + hd, st)
+            pdt = pd.astype(dtype)
+            out_h = jnp.dot(pdt, vh, preferred_element_type=jnp.float32)
+            if w is not None:
+                for o in range(-w, w + 1):
+                    pb = jnp.sum(
+                        jnp.where(offm == o, pd, 0.0), axis=1
+                    )  # [t]
+                    out_h = out_h + pb[:, None] * rv_ref[o + w, :].astype(
+                        jnp.float32
+                    )[None, :]
+            pieces.append(out_h.astype(dtype))
+            if want_locals:
+                seg_locs.append((p, pdt, qh, kh, vh))
+        out_packed = (
+            pieces[0] if G == 1 else jnp.concatenate(pieces, axis=0)
+        )  # [P, d]
         y_attn = y_attn + jnp.dot(
-            out_hd, wo_ref[s:e, :], preferred_element_type=jnp.float32
+            out_packed, wo_ref[s:e, :], preferred_element_type=jnp.float32
         )
         if want_locals:
-            heads.append((p, pdt, out_hd, qh, kh, vh))
+            head_outs.append(out_packed)
+            heads.append(seg_locs)
 
     y = y_attn + bo_ref[0][None, :]
-    y = _maybe_drop(y, H, st)
+    y = _maybe_drop(y, G * H, st)
 
     x1_in = xm.astype(jnp.float32) + y
     x1, xhat1, rstd1 = _ln_fwd(x1_in, g1_ref[0][None, :], be1_ref[0][None, :])
 
     a_in = (x1 * maskf).astype(dtype)
-    cols1 = _im2col(a_in, st["offs"], t)
+    cols1 = _im2col(a_in, st["offs"], t, G)
     pre = (
         jnp.dot(cols1, w1_ref[...], preferred_element_type=jnp.float32)
         + c1_ref[0][None, :]
     )
     r = jnp.maximum(pre, 0.0)
-    r = _maybe_drop(r, H + 1, st)
+    r = _maybe_drop(r, G * H + 1, st)
     rm = (r * maskf).astype(dtype)
-    cols2 = _im2col(rm, st["offs"], t)
+    cols2 = _im2col(rm, st["offs"], t, G)
     y2 = (
         jnp.dot(cols2, w2_ref[...], preferred_element_type=jnp.float32)
         + c2_ref[0][None, :]
     ) * maskf
-    y2 = _maybe_drop(y2, H + 2, st)
+    y2 = _maybe_drop(y2, G * H + 2, st)
 
     x2_in = x1 + y2
     out, xhat2, rstd2 = _ln_fwd(
@@ -206,8 +238,9 @@ def _layer_fwd_math(x, mask, refs, st, want_locals=False):
     loc = None
     if want_locals:
         loc = {
-            "maskf": maskf, "am": am, "offm": offm, "xm": xm,
-            "heads": heads, "xhat1": xhat1, "rstd1": rstd1,
+            "maskf": maskf, "ams": ams, "offm": offm, "xm": xm,
+            "heads": heads, "head_outs": head_outs,
+            "xhat1": xhat1, "rstd1": rstd1,
             "a_in": a_in, "pre": pre, "rm": rm,
             "xhat2": xhat2, "rstd2": rstd2,
         }
@@ -231,7 +264,9 @@ def _bwd_kernel(seed_ref, x_ref, mask_ref, *rest, st):
      rk_ref, rv_ref, g1_ref, be1_ref, g2_ref, be2_ref,
      w1_ref, c1_ref, w2_ref, c2_ref) = refs
 
-    t, h = x_ref.shape[1], x_ref.shape[2]
+    P, h = x_ref.shape[1], x_ref.shape[2]
+    G = st["pack"]
+    t = P // G
     H = st["n_heads"]
     d = h // H
     w = st["window"]
@@ -249,7 +284,7 @@ def _bwd_kernel(seed_ref, x_ref, mask_ref, *rest, st):
     # ---- forward recompute, keeping every intermediate as a local ----
     _, loc = _layer_fwd_math(x_ref[0], mask_ref[0], refs, st,
                              want_locals=True)
-    maskf, am, offm, xm = loc["maskf"], loc["am"], loc["offm"], loc["xm"]
+    maskf, ams, offm, xm = loc["maskf"], loc["ams"], loc["offm"], loc["xm"]
 
     # ---- LN2 / FFN ----
     dout = dout_ref[0].astype(jnp.float32)
@@ -262,10 +297,10 @@ def _bwd_kernel(seed_ref, x_ref, mask_ref, *rest, st):
     dx1 = dx2_in  # residual branch
     dy2 = dx2_in
     if st["drop_threshold"] is not None:
-        keep = _drop_keep(H + 2, dy2.shape, st)
+        keep = _drop_keep(G * H + 2, dy2.shape, st)
         dy2 = dy2 * keep * np.float32(st["drop_scale"])
     dconv2 = dy2 * maskf
-    cols2 = _im2col(loc["rm"], st["offs"], t)
+    cols2 = _im2col(loc["rm"], st["offs"], t, G)
     dw2_ref[...] += jnp.dot(
         cols2.T, dconv2.astype(dtype), preferred_element_type=jnp.float32
     )
@@ -274,15 +309,15 @@ def _bwd_kernel(seed_ref, x_ref, mask_ref, *rest, st):
         dconv2.astype(dtype), w2_ref[...].T, preferred_element_type=jnp.float32
     )
     f = w1_ref.shape[1]
-    drm = jnp.zeros((t, f), jnp.float32)
+    drm = jnp.zeros((P, f), jnp.float32)
     for ki, off in enumerate(st["offs"]):
-        drm = drm + _shifted(dcols2[:, ki * f:(ki + 1) * f], -off, t)
+        drm = drm + _shifted(dcols2[:, ki * f:(ki + 1) * f], -off, t, G)
     dr = drm * maskf
     if st["drop_threshold"] is not None:
-        keep = _drop_keep(H + 1, dr.shape, st)
+        keep = _drop_keep(G * H + 1, dr.shape, st)
         dr = dr * keep * np.float32(st["drop_scale"])
     dpre = jnp.where(loc["pre"] > 0.0, dr, 0.0)
-    cols1 = _im2col(loc["a_in"], st["offs"], t)
+    cols1 = _im2col(loc["a_in"], st["offs"], t, G)
     dw1_ref[...] += jnp.dot(
         cols1.T, dpre.astype(dtype), preferred_element_type=jnp.float32
     )
@@ -290,9 +325,9 @@ def _bwd_kernel(seed_ref, x_ref, mask_ref, *rest, st):
     dcols1 = jnp.dot(
         dpre.astype(dtype), w1_ref[...].T, preferred_element_type=jnp.float32
     )
-    da = jnp.zeros((t, h), jnp.float32)
+    da = jnp.zeros((P, h), jnp.float32)
     for ki, off in enumerate(st["offs"]):
-        da = da + _shifted(dcols1[:, ki * h:(ki + 1) * h], -off, t)
+        da = da + _shifted(dcols1[:, ki * h:(ki + 1) * h], -off, t, G)
     dx1 = dx1 + da * maskf
 
     # ---- LN1 / attention ----
@@ -305,60 +340,104 @@ def _bwd_kernel(seed_ref, x_ref, mask_ref, *rest, st):
     dxm = dx1_in  # residual branch
     dy = dx1_in
     if st["drop_threshold"] is not None:
-        keep = _drop_keep(H, dy.shape, st)
+        keep = _drop_keep(G * H, dy.shape, st)
         dy = dy * keep * np.float32(st["drop_scale"])
     dbo_ref[0] += jnp.sum(dy, axis=0)
     dyt = dy.astype(dtype)
 
+    def _cat0(pieces):
+        return pieces[0] if G == 1 else jnp.concatenate(pieces, axis=0)
+
     dq_heads, dk_heads, dv_heads = [], [], []
     for hd in range(H):
         s, e = hd * d, (hd + 1) * d
-        p, pdt, out_hd, qh, kh, vh = loc["heads"][hd]
+        out_packed = loc["head_outs"][hd]  # [P, d]
         dwo_ref[s:e, :] += jnp.dot(
-            out_hd.T, dyt, preferred_element_type=jnp.float32
+            out_packed.T, dyt, preferred_element_type=jnp.float32
         )
-        dout_h = jnp.dot(
+        dout_h_p = jnp.dot(
             dyt, wo_ref[s:e, :].T, preferred_element_type=jnp.float32
-        )  # [t, d]
-        dout_ht = dout_h.astype(dtype)
-        dpd = jnp.dot(
-            dout_ht, vh.T, preferred_element_type=jnp.float32
-        )  # [t, t]
-        dv_heads.append(
-            jnp.dot(pdt.T, dout_ht, preferred_element_type=jnp.float32)
+        )  # [P, d]
+        dout_ht_p = dout_h_p.astype(dtype)
+        # per-segment attention-core backward; rel-table grads accumulate
+        # over segments through ONE packed matmul per diagonal
+        dq_segs, dk_segs, dv_segs = [], [], []
+        qh_segs = []
+        pb_segs = {o: [] for o in range(-w, w + 1)} if w is not None else {}
+        dqrel_segs = (
+            {o: [] for o in range(-w, w + 1)} if w is not None else {}
         )
+        for g in range(G):
+            r0 = g * t
+            p, pdt, qh, kh, vh = loc["heads"][hd][g]
+            qh_segs.append(qh)
+            dout_h = dout_h_p[r0:r0 + t]
+            dout_ht = dout_ht_p[r0:r0 + t]
+            dpd = jnp.dot(
+                dout_ht, vh.T, preferred_element_type=jnp.float32
+            )  # [t, t]
+            dv_segs.append(
+                jnp.dot(pdt.T, dout_ht, preferred_element_type=jnp.float32)
+            )
+            if w is not None:
+                pdf = pdt.astype(jnp.float32)
+                for o in range(-w, w + 1):
+                    rv_row = rv_ref[o + w, :].astype(jnp.float32)
+                    d_pb = jnp.sum(dout_h * rv_row[None, :], axis=1)  # [t]
+                    dpd = dpd + jnp.where(offm == o, d_pb[:, None], 0.0)
+                    # [1, t] row (lane-axis concat below: Mosaic has no
+                    # 1-D vector concatenate)
+                    pb_segs[o].append(
+                        jnp.sum(jnp.where(offm == o, pdf, 0.0), axis=1)[
+                            None, :
+                        ]
+                    )
+            if st["drop_threshold"] is not None:
+                keep = _drop_keep(g * H + hd, dpd.shape, st)
+                dpd = dpd * keep * np.float32(st["drop_scale"])
+            # f32 softmax backward on the pre-dropout probabilities
+            ds = p * (dpd - jnp.sum(dpd * p, axis=-1, keepdims=True))
+            ds = jnp.where(ams[g] == 0.0, 0.0, ds)
+            dst = ds.astype(dtype)
+            dqh = (
+                jnp.dot(dst, kh, preferred_element_type=jnp.float32) * scale
+            )
+            dkh = (
+                jnp.dot(dst.T, qh, preferred_element_type=jnp.float32)
+                * scale
+            )
+            if w is not None:
+                for o in range(-w, w + 1):
+                    dqrel = jnp.sum(
+                        jnp.where(offm == o, ds, 0.0), axis=1
+                    ) * scale  # [t]
+                    rk_row = rk_ref[o + w, :].astype(jnp.float32)
+                    dqh = dqh + dqrel[:, None] * rk_row[None, :]
+                    dqrel_segs[o].append(dqrel[None, :])  # [1, t] row
+            dq_segs.append(dqh)
+            dk_segs.append(dkh)
         if w is not None:
-            pdf = pdt.astype(jnp.float32)
+            qh_packed = _cat0(qh_segs).astype(jnp.float32)  # [P, d]
+
+            def _cat_rows(pieces):  # [1, t] rows -> [1, P] (lane concat)
+                return (
+                    pieces[0]
+                    if G == 1
+                    else jnp.concatenate(pieces, axis=1)
+                )
+
             for o in range(-w, w + 1):
-                rv_row = rv_ref[o + w, :].astype(jnp.float32)
-                d_pb = jnp.sum(dout_h * rv_row[None, :], axis=1)  # [t]
-                dpd = dpd + jnp.where(offm == o, d_pb[:, None], 0.0)
-                pb = jnp.sum(jnp.where(offm == o, pdf, 0.0), axis=1)
+                pb_p = _cat_rows(pb_segs[o])  # [1, P]
                 drv_ref[o + w, :] += jnp.dot(
-                    pb[None, :], dout_h, preferred_element_type=jnp.float32
+                    pb_p, dout_h_p, preferred_element_type=jnp.float32
                 )[0]
-        if st["drop_threshold"] is not None:
-            keep = _drop_keep(hd, dpd.shape, st)
-            dpd = dpd * keep * np.float32(st["drop_scale"])
-        # f32 softmax backward on the pre-dropout probabilities
-        ds = p * (dpd - jnp.sum(dpd * p, axis=-1, keepdims=True))
-        ds = jnp.where(am == 0.0, 0.0, ds)
-        dst = ds.astype(dtype)
-        dqh = jnp.dot(dst, kh, preferred_element_type=jnp.float32) * scale
-        dkh = jnp.dot(dst.T, qh, preferred_element_type=jnp.float32) * scale
-        if w is not None:
-            for o in range(-w, w + 1):
-                dqrel = jnp.sum(
-                    jnp.where(offm == o, ds, 0.0), axis=1
-                ) * scale  # [t]
-                rk_row = rk_ref[o + w, :].astype(jnp.float32)
-                dqh = dqh + dqrel[:, None] * rk_row[None, :]
+                dqrel_p = _cat_rows(dqrel_segs[o])  # [1, P]
                 drk_ref[o + w, :] += jnp.dot(
-                    dqrel[None, :], qh.astype(jnp.float32),
-                    preferred_element_type=jnp.float32,
+                    dqrel_p, qh_packed, preferred_element_type=jnp.float32
                 )[0]
-        dq_heads.append(dqh)
-        dk_heads.append(dkh)
+        dq_heads.append(_cat0(dq_segs))
+        dk_heads.append(_cat0(dk_segs))
+        dv_heads.append(_cat0(dv_segs))
 
     dQ = jnp.concatenate(dq_heads, axis=1)
     dK = jnp.concatenate(dk_heads, axis=1)
@@ -381,6 +460,41 @@ def _bwd_kernel(seed_ref, x_ref, mask_ref, *rest, st):
     dx_ref[0] = (dxm * maskf).astype(dx_ref.dtype)
 
 
+# pack override hook for tests/benchmarks: [None] = auto (largest
+# divisor of the local batch from _PACK_CANDIDATES)
+_PACK_OVERRIDE: typing.List[typing.Optional[int]] = [None]
+_PACK_CANDIDATES = (4, 2, 1)  # 8 measured neutral-to-worse on v5e (bwd
+# locals overflow the 16M default scoped-VMEM class); 4 is the best point
+_PACK_MAX_ROWS = 2048  # cap pack·t (VMEM: intermediates scale with rows)
+
+
+def _pick_pack(b: int, t: int) -> int:
+    """Samples per grid step: largest candidate dividing the (local)
+    batch with pack·t within the row cap.  M=t≈128 rows alone is mostly
+    MXU pipeline fill; packing restores an amortizing matmul height.
+    Packed segments are concatenated on the sublane (row) axis, so t must
+    be sublane-aligned (Mosaic rejects misaligned concatenates)."""
+    if _PACK_OVERRIDE[0] is not None:
+        return _PACK_OVERRIDE[0]
+    if t % 8 != 0:
+        return 1
+    for g in _PACK_CANDIDATES:
+        if b % g == 0 and g * t <= _PACK_MAX_ROWS:
+            return g
+    return 1
+
+
+@contextlib.contextmanager
+def force_pack(g: typing.Optional[int]):
+    """Pin the sample-pack factor (tests/A-B); None restores auto."""
+    prev = _PACK_OVERRIDE[0]
+    _PACK_OVERRIDE[0] = g
+    try:
+        yield
+    finally:
+        _PACK_OVERRIDE[0] = prev
+
+
 def _encoder_layer_call(weights, x, mask, seed_f, *, st, interpret,
                         with_grad=False, dout=None):
     from .shardwrap import shard_per_sample
@@ -390,6 +504,16 @@ def _encoder_layer_call(weights, x, mask, seed_f, *, st, interpret,
     def impl(seed_f, x, mask, *rest):
         b, t, h = x.shape
         weights = rest[:18]
+        # pack is STATIC in st (baked into the custom_vjp fn key at call
+        # construction, encoder_layer_fused_folded) so the forward and the
+        # lazily-traced backward can never disagree on it
+        G = st["pack"] if b % st["pack"] == 0 else 1
+        P = G * t
+        gb = b // G  # grid size: G samples per step
+        st2 = dict(st, pack=G, n_sites=G * st["n_heads"] + 3)
+        if G > 1:
+            x = x.reshape(gb, P, h)
+            mask = mask.reshape(gb, P, 1)
         m0 = weights[8].shape[0]  # rel table rows (2w+1)
         f = weights[14].shape[1]
         const, per_b = _specs()
@@ -406,27 +530,28 @@ def _encoder_layer_call(weights, x, mask, seed_f, *, st, interpret,
             const((K * h, f)), const((1, f)),   # ffn W1, b1
             const((K * f, h)), const((1, h)),   # ffn W2, b2
         ]
-        in_specs = [per_b((1, t, h)), per_b((1, t, 1))] + w_specs
+        in_specs = [per_b((1, P, h)), per_b((1, P, 1))] + w_specs
         args = [x, mask, *weights]
 
         if not with_grad:
-            kernel = functools.partial(_fwd_kernel, st=st)
-            return pl.pallas_call(
+            kernel = functools.partial(_fwd_kernel, st=st2)
+            out = pl.pallas_call(
                 kernel,
                 grid_spec=pltpu.PrefetchScalarGridSpec(
                     num_scalar_prefetch=1,
-                    grid=(b,),
+                    grid=(gb,),
                     in_specs=in_specs,
-                    out_specs=per_b((1, t, h)),
+                    out_specs=per_b((1, P, h)),
                 ),
-                out_shape=jax.ShapeDtypeStruct((b, t, h), x.dtype),
+                out_shape=jax.ShapeDtypeStruct((gb, P, h), x.dtype),
                 interpret=interpret,
             )(seed_f, *args)
+            return out.reshape(b, t, h) if G > 1 else out
 
-        kernel = functools.partial(_bwd_kernel, st=st)
+        kernel = functools.partial(_bwd_kernel, st=st2)
         d = h // st["n_heads"]
         out_shapes = (
-            jax.ShapeDtypeStruct((b, t, h), x.dtype),        # dx
+            jax.ShapeDtypeStruct((gb, P, h), x.dtype),       # dx
             jax.ShapeDtypeStruct((h, h), jnp.float32),        # dwq
             jax.ShapeDtypeStruct((1, h), jnp.float32),        # dbq
             jax.ShapeDtypeStruct((h, h), jnp.float32),        # dwk
@@ -447,7 +572,7 @@ def _encoder_layer_call(weights, x, mask, seed_f, *, st, interpret,
             jax.ShapeDtypeStruct((1, h), jnp.float32),        # dc2
         )
         out_specs = (
-            per_b((1, t, h)),
+            per_b((1, P, h)),
             const((h, h)), const((1, h)),
             const((h, h)), const((1, h)),
             const((h, h)), const((1, h)),
@@ -458,17 +583,23 @@ def _encoder_layer_call(weights, x, mask, seed_f, *, st, interpret,
             const((K * h, f)), const((1, f)),
             const((K * f, h)), const((1, h)),
         )
-        return pl.pallas_call(
+        dout_in = rest[18]
+        if G > 1:
+            dout_in = dout_in.reshape(gb, P, h)
+        outs = pl.pallas_call(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
-                grid=(b,),
-                in_specs=in_specs + [per_b((1, t, h))],
+                grid=(gb,),
+                in_specs=in_specs + [per_b((1, P, h))],
                 out_specs=out_specs,
             ),
             out_shape=out_shapes,
             interpret=interpret,
-        )(seed_f, *args, rest[18])
+        )(seed_f, *args, dout_in)
+        if G > 1:
+            outs = (outs[0].reshape(b, t, h),) + tuple(outs[1:])
+        return outs
 
     call_args = (seed_f, x, mask, *weights)
     in_dims = [None, 0, 0] + [None] * 18
@@ -490,14 +621,16 @@ class _EncKey(typing.NamedTuple):
 
 
 def _st_from_key(key: "_EncKey") -> dict:
-    n_heads, window, offs, thr, sc = key.st
+    n_heads, window, offs, thr, sc = key.st[:5]
+    pack = key.st[5] if len(key.st) > 5 else 1
     return {
         "n_heads": n_heads,
         "window": window,
         "offs": offs,
         "drop_threshold": thr,
         "drop_scale": sc,
-        "n_sites": n_heads + 3,
+        "pack": pack,
+        "n_sites": pack * n_heads + 3,
     }
 
 
@@ -626,6 +759,16 @@ def encoder_layer_fused_folded(
         seed = jnp.zeros((), jnp.int32)
     seed_f = jnp.asarray(seed, jnp.int32).reshape((1,))
 
+    # resolve the sample-pack factor against the LOCAL batch (after any
+    # ambient-mesh batch split) and bake it into the static kernel key —
+    # forward and the lazily-traced backward must agree on it
+    from .shardwrap import _split_axes, ambient_mesh
+
+    local_b = b
+    mesh = ambient_mesh()
+    if mesh is not None:
+        _, prod = _split_axes(mesh, b)
+        local_b = b // prod
     st = (
         int(n_heads),
         int(window_size),
@@ -636,6 +779,7 @@ def encoder_layer_fused_folded(
             else None
         ),
         (1.0 / (1.0 - p_dropout)) if drop else 1.0,
+        _pick_pack(local_b, x.shape[1]),
     )
     fn = _make_layer_fn(_EncKey(st, interpret))
     mask = jnp.broadcast_to(x_mask.astype(x.dtype), (b, x.shape[1], 1))

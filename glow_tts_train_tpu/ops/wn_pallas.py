@@ -66,22 +66,38 @@ def portable_ops():
         _PORTABLE_OPS[0] = False
 
 
-def _shifted(arr: jnp.ndarray, off: int, t: int) -> jnp.ndarray:
+def _shifted(
+    arr: jnp.ndarray, off: int, t: int, pack: int = 1
+) -> jnp.ndarray:
     """out[s] = arr[s + off] with zeros outside [0, t) (conv 'same' pad).
 
     Mosaic's sublane rotate only supports 32-bit element types, and its
     concatenate refuses sublane-misaligned pieces — so bf16 data round-trips
     through f32 for the roll (two VPU casts, negligible next to the MXU
-    work) and circular wrap is zeroed with an iota mask."""
+    work) and circular wrap is zeroed with an iota mask.
+
+    ``pack`` > 1 treats the row axis as ``pack`` independent length-``t``
+    segments (sample-packed kernels): the roll crosses segment boundaries,
+    and the iota mask — built on the row-within-segment index — zeroes
+    exactly the rows whose rolled-in value came from a neighboring segment
+    (the rows a 'same' conv pads with zeros anyway)."""
     if off == 0:
         return arr
+    rows_total = t * pack
     dtype = arr.dtype
     work = arr if arr.dtype.itemsize == 4 else arr.astype(jnp.float32)
     if _PORTABLE_OPS[0]:
-        rolled = jnp.roll(work, (-off) % t, axis=0)
+        rolled = jnp.roll(work, (-off) % rows_total, axis=0)
     else:
-        rolled = pltpu.roll(work, shift=(-off) % t, axis=0)
-    rows = jax.lax.broadcasted_iota(jnp.int32, arr.shape, 0)
+        rolled = pltpu.roll(work, shift=(-off) % rows_total, axis=0)
+    if pack == 1:
+        rows = jax.lax.broadcasted_iota(jnp.int32, arr.shape, 0)
+    else:
+        # row-within-segment index: 3-D iota over (pack, t, ...) reshaped
+        # back — a pure-layout reshape (row-major), no modulo op needed
+        rows = jax.lax.broadcasted_iota(
+            jnp.int32, (pack, t) + arr.shape[1:], 1
+        ).reshape(arr.shape)
     if off > 0:
         out = jnp.where(rows < t - off, rolled, jnp.zeros_like(rolled))
     else:
@@ -89,9 +105,12 @@ def _shifted(arr: jnp.ndarray, off: int, t: int) -> jnp.ndarray:
     return out.astype(dtype)
 
 
-def _im2col(x: jnp.ndarray, offsets, t: int) -> jnp.ndarray:
-    """[t, h] -> [t, K*h], tap-major column blocks (matches W reshape)."""
-    return jnp.concatenate([_shifted(x, off, t) for off in offsets], axis=1)
+def _im2col(x: jnp.ndarray, offsets, t: int, pack: int = 1) -> jnp.ndarray:
+    """[t, h] -> [t, K*h], tap-major column blocks (matches W reshape).
+    ``pack``: rows are ``pack`` independent length-``t`` segments."""
+    return jnp.concatenate(
+        [_shifted(x, off, t, pack) for off in offsets], axis=1
+    )
 
 
 def _offsets(kernel_size: int, dilation: int):

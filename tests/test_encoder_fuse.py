@@ -281,3 +281,99 @@ def test_encoder_fuse_auto_resolution():
     assert _resolve_encoder_fuse("auto", "pallas", m_blk) is False
     assert _resolve_encoder_fuse(False, "pallas", m) is False  # explicit
     assert _resolve_encoder_fuse(True, "xla", m) is True
+
+
+@pytest.mark.parametrize("pack", [2, 4])
+def test_fused_encoder_sample_packing_matches(pack):
+    """Sample packing (G samples per grid step, M=G·t matmuls) is
+    numerically identical to pack=1 for outputs AND all parameter grads
+    (dropout off; the dropout stream legitimately differs per pack)."""
+    from glow_tts_train_tpu.ops import encoder_pallas as ep
+
+    params, kw = _encoder()
+    x, mask = _inputs(b=4, t=16)
+
+    def loss(p):
+        y = encoder_apply(
+            p, x, mask, **kw, deterministic=True, fused=True
+        )
+        return jnp.sum(y * jnp.cos(y)), y
+
+    with ep.force_pack(1):
+        (_, y1), g1 = jax.value_and_grad(loss, has_aux=True)(params)
+    with ep.force_pack(pack):
+        (_, y2), g2 = jax.value_and_grad(loss, has_aux=True)(params)
+    np.testing.assert_allclose(np.asarray(y2), np.asarray(y1), atol=1e-5)
+    f1, _ = fu.ravel_pytree(g1)
+    f2, _ = fu.ravel_pytree(g2)
+    scale = float(jnp.max(jnp.abs(f1)))
+    np.testing.assert_allclose(
+        np.asarray(f2), np.asarray(f1), atol=3e-6 * max(scale, 1.0)
+    )
+
+
+def test_fused_encoder_packed_dropout_oracle():
+    """Packed in-kernel dropout: autodiff oracle at pack=2 — the kernel
+    (interpret mode, portable PRNG) vs its own forward math run outside
+    Pallas on the packed [G·t, h] layout with the same bits.  Pins the
+    per-(segment, head) dropout site numbering that backward must replay
+    (site = g·H + hd; packed sites at G·H + {0,1,2})."""
+    from glow_tts_train_tpu.ops import encoder_pallas as ep
+    from glow_tts_train_tpu.ops.encoder_pallas import encoder_layer_fused
+    from glow_tts_train_tpu.ops.wn_pallas import _offsets, portable_ops
+
+    params, kw = _encoder(n_layers=1)
+    layer0 = jax.tree_util.tree_map(lambda a: a[0], params)
+    x, mask = _inputs(b=4, t=16)
+    b, t, h = x.shape
+    G = 2
+
+    def run(q):
+        with ep.force_pack(G):
+            return encoder_layer_fused(
+                q, x, mask, **kw, kernel_size=3, p_dropout=0.4,
+                rng=jax.random.PRNGKey(7), deterministic=False,
+                interpret=True,
+            )
+
+    thr = np.uint32(min(round(0.4 * 2 ** 32), 2 ** 32 - 1))
+    st_tup = (kw["n_heads"], kw["window_size"], _offsets(3, 1), thr,
+              1.0 / 0.6)
+    st = dict(
+        ep._st_from_key(ep._EncKey(st_tup, True)),
+        interpret=True, pack=G, n_sites=G * kw["n_heads"] + 3,
+    )
+    seed_f = jax.random.randint(
+        jax.random.PRNGKey(7), (), minval=0, maxval=np.int32(2 ** 31 - 1),
+        dtype=jnp.int32,
+    )
+    mask_b = jnp.broadcast_to(mask, (b, t, 1))
+    xp = x.reshape(b // G, G * t, h)
+    mp = mask_b.reshape(b // G, G * t, 1)
+
+    def orc(q):
+        refs = ep.fold_encoder_layer(q, jnp.float32)
+        outs = []
+        with portable_ops():
+            for i in range(b // G):
+                out, _ = ep._layer_fwd_math(
+                    xp[i], mp[i], refs, dict(st, seed=seed_f + i)
+                )
+                outs.append(out)
+        return jnp.stack(outs).reshape(b, t, h)
+
+    y_k = run(layer0)
+    y_o = orc(layer0)
+    np.testing.assert_allclose(np.asarray(y_o), np.asarray(y_k), atol=1e-5)
+
+    cot = jnp.asarray(
+        np.random.default_rng(3).standard_normal(y_k.shape), jnp.float32
+    )
+    g_k = jax.grad(lambda q: jnp.sum(run(q) * cot))(layer0)
+    g_o = jax.grad(lambda q: jnp.sum(orc(q) * cot))(layer0)
+    f_k, _ = fu.ravel_pytree(g_k)
+    f_o, _ = fu.ravel_pytree(g_o)
+    scale = float(jnp.max(jnp.abs(f_o)))
+    np.testing.assert_allclose(
+        np.asarray(f_k), np.asarray(f_o), atol=3e-6 * max(scale, 1.0)
+    )
