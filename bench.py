@@ -514,14 +514,15 @@ def main():
     _log(f"rpc baseline (diagnostic): {rpc_base * 1e3:.2f} ms")
 
     step_time, frames_per_sec = bench_train(config)
-    # larger batches amortize weight traffic; with the round-4b default
-    # (block-kernel store backward + unroll) the sweep keeps rising gently
-    # past b=192 — 192:1.439M / 224:1.445M / 256:1.450M f/s measured — so
-    # b=256 is the new peak point; 128/192 kept for round-over-round
-    # history.
+    # larger batches amortize weight traffic; the round-5 sweep plateaus
+    # at ~1.46-1.47M f/s from b=256 through b=448 with the peak at b=384
+    # (256:1.457M / 320:1.461M / 384:1.474M / 448:1.468M; b=512 fails to
+    # compile on v5e), so 384 joins the sweep as the peak point; 128/192/
+    # 256 kept for round-over-round history.
     step_time_b128, frames_per_sec_b128 = bench_train(config, b=128)
     step_time_b192, frames_per_sec_b192 = bench_train(config, b=192)
     step_time_b256, frames_per_sec_b256 = bench_train(config, b=256)
+    step_time_b384, frames_per_sec_b384 = bench_train(config, b=384)
     rtf, infer_time, infer_frames = bench_infer_rtf(config)
     rtf_b8, infer_time_b8, infer_frames_b8 = bench_infer_rtf(config, b=8)
     enc_ms, dec_ms, fwd_ms = bench_breakdown(config)
@@ -695,6 +696,7 @@ def main():
         128: (step_time_b128, frames_per_sec_b128),
         192: (step_time_b192, frames_per_sec_b192),
         256: (step_time_b256, frames_per_sec_b256),
+        384: (step_time_b384, frames_per_sec_b384),
     }
     headline_batch = max(by_batch, key=lambda b: by_batch[b][1])
     peak_fps = by_batch[headline_batch][1]
@@ -724,9 +726,11 @@ def main():
             "frames_per_sec_b128": round(frames_per_sec_b128, 1),
             "frames_per_sec_b192": round(frames_per_sec_b192, 1),
             "frames_per_sec_b256": round(frames_per_sec_b256, 1),
+            "frames_per_sec_b384": round(frames_per_sec_b384, 1),
             "train_step_time_ms_b128": round(step_time_b128 * 1e3, 2),
             "train_step_time_ms_b192": round(step_time_b192 * 1e3, 2),
             "train_step_time_ms_b256": round(step_time_b256 * 1e3, 2),
+            "train_step_time_ms_b384": round(step_time_b384 * 1e3, 2),
             "mfu": round(achieved / peak, 4),
             "mfu_b128": round(
                 (4 * flops_per_step / step_time_b128) / peak, 4
@@ -736,6 +740,9 @@ def main():
             ),
             "mfu_b256": round(
                 (8 * flops_per_step / step_time_b256) / peak, 4
+            ),
+            "mfu_b384": round(
+                (12 * flops_per_step / step_time_b384) / peak, 4
             ),
             "achieved_tflops": round(achieved / 1e12, 2),
             "chip": chip,
