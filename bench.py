@@ -662,8 +662,13 @@ def main():
                 "pipeline_only_frames_per_sec"
             ],
             "e2e_measured": (
-                f"{_ev['date']} scripts/bench-e2e.py b={_ev['batch']} "
-                f"({_ev['corpus']['n_utterances']} utts)"
+                f"{_ev['date']} scripts/bench-e2e.py b={_ev['batch']}"
+                + (
+                    f"x{_ev['grad_accum_steps']}accum"
+                    if _ev.get("grad_accum_steps", 1) > 1
+                    else ""
+                )
+                + f" ({_ev['corpus']['n_utterances']} utts)"
             ),
         }
     except (OSError, KeyError, ValueError):

@@ -56,7 +56,9 @@ def ensure_corpus(corpus_dir: Path, n_utts: int) -> dict:
     return json.loads(manifest.read_text())
 
 
-def train_config(batch: int, epochs: int, tiny: bool = False) -> dict:
+def train_config(
+    batch: int, epochs: int, tiny: bool = False, grad_accum: int = 1
+) -> dict:
     cfg = {
         "epochs": epochs,
         "batch_size": batch,
@@ -65,6 +67,8 @@ def train_config(batch: int, epochs: int, tiny: bool = False) -> dict:
         "audio": {"mel_channels": 80},
         "model": {"num_symbols": 44},
     }
+    if grad_accum > 1:
+        cfg["grad_accum_steps"] = grad_accum
     if tiny:  # mechanics smoke on CPU: shrink the model, keep the pipeline
         cfg["model"].update(
             hidden_channels=16, filter_channels=32, filter_channels_dp=16,
@@ -136,6 +140,15 @@ def main():
     ap.add_argument("--n-utts", type=int, default=10000)
     ap.add_argument("--platform", default=None, help="cpu to force off-TPU")
     ap.add_argument(
+        "--grad-accum", type=int, default=2,
+        help="microbatch the step (exact: ratio-normalized losses).  The "
+        "10k corpus's longest bucket (~1400 frames) at b=256 needs 15.76G "
+        "of the v5e's 15.75G HBM in one microbatch — store-mode residuals "
+        "scale with b*t_y — so the evidence run keeps global batch 256 as "
+        "2x128 microbatches, exactly the production recipe for 30s "
+        "utterances on a 16G chip",
+    )
+    ap.add_argument(
         "--tiny", action="store_true",
         help="shrink the model for a CPU mechanics smoke (pipeline unchanged)",
     )
@@ -151,7 +164,10 @@ def main():
     work.mkdir(parents=True, exist_ok=True)
     config_path = work / "config.json"
     config_path.write_text(
-        json.dumps(train_config(args.batch, args.epochs, tiny=args.tiny))
+        json.dumps(train_config(
+            args.batch, args.epochs, tiny=args.tiny,
+            grad_accum=args.grad_accum,
+        ))
     )
     metrics_path = work / "metrics.jsonl"
     metrics_path.unlink(missing_ok=True)
@@ -185,6 +201,7 @@ def main():
     result = {
         "date": time.strftime("%Y-%m-%d"),
         "batch": args.batch,
+        "grad_accum_steps": args.grad_accum,
         "corpus": {
             "n_utterances": meta["n_utterances"],
             "total_audio_seconds": round(meta["total_audio_seconds"], 1),
