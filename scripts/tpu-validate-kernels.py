@@ -36,6 +36,10 @@ def run_tests():
         [
             sys.executable, "-m", "pytest",
             "tests/test_encoder_fuse.py::test_fused_encoder_inkernel_dropout",
+            "tests/test_encoder_fuse.py::"
+            "test_fused_encoder_sample_packing_matches",
+            "tests/test_encoder_fuse.py::"
+            "test_fused_encoder_packed_dropout_oracle",
             "tests/test_text_fuse.py::test_fused_text_inkernel_dropout",
             "tests/test_block_fuse.py::test_fused_block_inkernel_dropout_grads",
             "tests/test_block_fuse.py::test_fused_wn_inkernel_dropout_grads",
